@@ -1,0 +1,120 @@
+"""Connected-component labeling/stats parity vs cv2 (the reference's
+per-component filter loops, e.g. infer_two_stage_burr.py:100-119)."""
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_tpu.ops import cc
+
+
+def _canon(lab, fg):
+    ids, out = {}, np.full(lab.shape, -1)
+    for r, c in zip(*np.nonzero(fg)):
+        v = lab[r, c]
+        out[r, c] = ids.setdefault(v, len(ids))
+    return out
+
+
+def _scene(kind, rng):
+    m = np.zeros((64, 80), np.uint8)
+    if kind == "blobs":
+        cv2.circle(m, (20, 20), 8, 1, -1)
+        cv2.circle(m, (60, 40), 5, 1, -1)
+        cv2.line(m, (5, 60), (75, 55), 1, 1)
+    elif kind == "noise":
+        m = (rng.random((64, 80)) > 0.8).astype(np.uint8)
+    elif kind == "spiral":
+        for i, r in enumerate(range(4, 30, 4)):
+            cv2.ellipse(m, (40, 32), (r, r), 0, i * 40, i * 40 + 300, 1, 1)
+    elif kind == "diag":
+        cv2.line(m, (0, 0), (63, 63), 1, 1)
+        cv2.line(m, (79, 0), (16, 63), 1, 1)
+    return m
+
+
+@pytest.mark.parametrize("kind", ["blobs", "noise", "spiral", "diag"])
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_partition_parity(rng, kind, connectivity):
+    m = _scene(kind, rng)
+    _, want = cv2.connectedComponents(m, connectivity=connectivity)
+    got = np.asarray(cc.connected_components(jnp.asarray(m), connectivity, max_iters=32))
+    assert np.array_equal(_canon(want, m > 0), _canon(got, m > 0))
+
+
+def test_stats_parity(rng):
+    m = _scene("blobs", rng) | (rng.random((64, 80)) > 0.985).astype(np.uint8)
+    n, lab, st, cen = cv2.connectedComponentsWithStats(m, connectivity=8)
+    assert n - 1 <= 128  # scene must fit in the fixed top-K budget
+    stats = cc.component_stats(cc.connected_components(jnp.asarray(m)), 128)
+    # match components by (area, bbox) multiset
+    want = sorted((int(st[i, cv2.CC_STAT_AREA]), int(st[i, cv2.CC_STAT_LEFT]),
+                   int(st[i, cv2.CC_STAT_TOP]), int(st[i, cv2.CC_STAT_WIDTH]),
+                   int(st[i, cv2.CC_STAT_HEIGHT]), round(float(cen[i][0]), 4),
+                   round(float(cen[i][1]), 4)) for i in range(1, n))
+    got = sorted((int(a), int(l), int(t), int(w), int(h), round(float(cx), 4), round(float(cy), 4))
+                 for a, l, t, w, h, cx, cy, v in zip(
+                     np.asarray(stats.area), np.asarray(stats.left), np.asarray(stats.top),
+                     np.asarray(stats.width), np.asarray(stats.height),
+                     np.asarray(stats.cx), np.asarray(stats.cy), np.asarray(stats.valid)) if v)
+    assert got == want
+    assert int(stats.num) == n - 1
+
+
+def test_area_filter_matches_reference_loop(rng):
+    """Replicates the area/aspect/size CC filter of
+    reference infer_two_stage_burr.py:100-119 against a direct cv2 loop."""
+    m = (rng.random((64, 80)) > 0.85).astype(np.uint8)
+    m = cv2.dilate(m, np.ones((2, 2), np.uint8))
+    cfg = dict(min_area=10, max_area=200)
+    n, lab, st, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+    want = np.zeros_like(m)
+    for i in range(1, n):
+        a, w, h = st[i, cv2.CC_STAT_AREA], st[i, cv2.CC_STAT_WIDTH], st[i, cv2.CC_STAT_HEIGHT]
+        aspect = max(w, h) / (min(w, h) + 1e-6)
+        if cfg["min_area"] <= a <= cfg["max_area"] and aspect < 5.0 and w > 3 and h > 3:
+            want[lab == i] = 1
+
+    labels = cc.connected_components(jnp.asarray(m))
+    stats = cc.component_stats(labels, 128)
+    aspect = jnp.maximum(stats.width, stats.height) / (jnp.minimum(stats.width, stats.height) + 1e-6)
+    keep = ((stats.area >= cfg["min_area"]) & (stats.area <= cfg["max_area"])
+            & (aspect < 5.0) & (stats.width > 3) & (stats.height > 3))
+    got = np.asarray(cc.keep_mask(labels, stats, keep)).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_largest_component(rng):
+    m = np.zeros((48, 64), np.uint8)
+    cv2.circle(m, (15, 24), 10, 1, -1)   # big
+    cv2.circle(m, (50, 10), 3, 1, -1)    # small
+    got = np.asarray(cc.largest_component(jnp.asarray(m)))
+    n, lab, st, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+    want = lab == (1 + np.argmax(st[1:, cv2.CC_STAT_AREA]))
+    assert np.array_equal(got, want)
+    # min_area larger than biggest -> empty
+    got2 = np.asarray(cc.largest_component(jnp.asarray(m), min_area=10 ** 6))
+    assert got2.sum() == 0
+    # empty input -> empty output
+    assert np.asarray(cc.largest_component(jnp.zeros((8, 8), bool))).sum() == 0
+
+
+def test_component_any(rng):
+    m = np.zeros((32, 32), np.uint8)
+    cv2.circle(m, (8, 8), 4, 1, -1)
+    cv2.circle(m, (24, 24), 4, 1, -1)
+    flags = np.zeros((32, 32), bool)
+    flags[8, 8] = True  # only first blob flagged
+    labels = cc.connected_components(jnp.asarray(m))
+    got = np.asarray(cc.component_any(labels, jnp.asarray(flags)))
+    n, lab = cv2.connectedComponents(m)
+    want = lab == lab[8, 8]
+    assert np.array_equal(got, want)
+
+
+def test_batched(rng):
+    ms = (rng.random((3, 32, 40)) > 0.8).astype(np.uint8)
+    labs = np.asarray(cc.connected_components(jnp.asarray(ms)))
+    for i in range(3):
+        single = np.asarray(cc.connected_components(jnp.asarray(ms[i])))
+        assert np.array_equal(labs[i], single)

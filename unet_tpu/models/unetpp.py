@@ -1,0 +1,77 @@
+"""UNet++ ("NestedUNet") in Flax, weight-compatible with the reference.
+
+Topology parity with reference src/models/unetpp.py:29-135 — including its
+quirk: despite the name, the decoder is a *plain U-Net chain*
+(x3_1 -> x2_2 -> x1_3 -> x0_4); the dense nested nodes of true UNet++ are not
+present in the reference either, and reproducing the exact graph is what makes
+the published checkpoints loadable (see models.convert).
+
+TPU-native design choices vs the torch original:
+  * NHWC layout end to end (no NCHW transposes in the hot path)
+  * bilinear x2 upsample with align_corners=True implemented as two static
+    gather-lerps (ops.image.upsample2x_align_corners) — exact parity with
+    torch nn.Upsample(align_corners=True) (reference unetpp.py:76)
+  * deep-supervision heads emitted only when `train=True`, mirroring
+    `self.training` gating (reference unetpp.py:121-133)
+  * `dtype=bfloat16` turns the whole forward into MXU-friendly mixed
+    precision (params stay f32)
+"""
+from __future__ import annotations
+
+from typing import Any, List, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from unet_tpu.models.blocks import ConvBlock, max_pool2
+from unet_tpu.models.resnet import ResNet50Encoder
+from unet_tpu.ops.image import upsample2x_align_corners, resize_bilinear_align_corners
+
+NB_FILTER = (32, 64, 128, 256, 512)
+RESNET50_CHANNELS = (64, 256, 512, 1024, 2048)
+
+
+def _up2(x: jnp.ndarray) -> jnp.ndarray:
+    return upsample2x_align_corners(x, h_axis=x.ndim - 3, w_axis=x.ndim - 2)
+
+
+class NestedUNet(nn.Module):
+    """Args mirror the reference constructor (src/models/unetpp.py:40-46)."""
+    num_classes: int
+    input_channels: int = 3
+    deep_supervision: bool = True
+    pretrained_encoder: bool = False  # ResNet50 encoder topology (weights via convert)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
+        ch = RESNET50_CHANNELS if self.pretrained_encoder else NB_FILTER
+
+        if self.pretrained_encoder:
+            x0_0, x1_0, x2_0, x3_0, x4_0 = ResNet50Encoder(
+                dtype=self.dtype, name="encoder")(x, train)
+        else:
+            x0_0 = ConvBlock(ch[0], self.dtype, name="conv0_0")(x, train)
+            x1_0 = ConvBlock(ch[1], self.dtype, name="conv1_0")(max_pool2(x0_0), train)
+            x2_0 = ConvBlock(ch[2], self.dtype, name="conv2_0")(max_pool2(x1_0), train)
+            x3_0 = ConvBlock(ch[3], self.dtype, name="conv3_0")(max_pool2(x2_0), train)
+            x4_0 = ConvBlock(ch[4], self.dtype, name="conv4_0")(max_pool2(x3_0), train)
+
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)  # [skip, up] order
+        x3_1 = ConvBlock(ch[3], self.dtype, name="conv3_1")(cat(x3_0, _up2(x4_0)), train)
+        x2_2 = ConvBlock(ch[2], self.dtype, name="conv2_2")(cat(x2_0, _up2(x3_1)), train)
+        x1_3 = ConvBlock(ch[1], self.dtype, name="conv1_3")(cat(x1_0, _up2(x2_2)), train)
+        x0_4 = ConvBlock(ch[0], self.dtype, name="conv0_4")(cat(x0_0, _up2(x1_3)), train)
+
+        out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="final")(x0_4)
+
+        if self.deep_supervision and train:
+            hw = x.shape[-3:-1]
+            h_ax, w_ax = x.ndim - 3, x.ndim - 2
+            up_to = lambda t: resize_bilinear_align_corners(t, hw, h_ax, w_ax)
+            out3 = up_to(nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="ds3_1")(x3_1))
+            out2 = up_to(nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="ds2_2")(x2_2))
+            out1 = up_to(nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="ds1_3")(x1_3))
+            return [out, out1, out2, out3]
+        return out

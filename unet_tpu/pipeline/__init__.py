@@ -1,0 +1,5 @@
+"""Unified inference pipeline: one configurable engine replacing the
+reference's 22-script zoo (SURVEY §1 'script zoo' / §7 architecture)."""
+from unet_tpu.pipeline.config import (  # noqa: F401
+    ROI, BurrCfg, GeometryCfg, PipelineCfg, PostprocessCfg, PreprocessCfg, SegmentCfg)
+from unet_tpu.pipeline import stages  # noqa: F401

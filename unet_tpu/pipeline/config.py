@@ -1,0 +1,127 @@
+"""Unified typed config tree for the inference pipeline.
+
+Replaces the reference's three overlapping config systems (SURVEY §5):
+argparse-per-CLI, `AppCfg` yaml (reference src/utils/config.py:12-107), and
+`RefactorConfig` (reference src/refactor/config.py:11-157) — plus the
+hard-coded ROI constants (FIXED_ROI_512 infer_two_stage_burr.py:29-34,
+VERTICAL_ROI infer_enhanced_burr.py:23-28, CUSTOM_ROI
+infer_high_res_custom_roi.py:25-30), which become named presets here
+(pipeline.presets).
+
+Everything is a frozen dataclass so configs hash as jit static args.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ROI:
+    """ROI in model-input (512-space) or frame coordinates; scaled like
+    map_roi_to_original (reference infer_two_stage_burr.py:37-47)."""
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+    space: Tuple[int, int] = (512, 512)  # (w, h) the coords are expressed in
+
+    def scaled(self, frame_wh: Tuple[int, int]) -> "ROI":
+        sx = frame_wh[0] / self.space[0]
+        sy = frame_wh[1] / self.space[1]
+        return ROI(int(self.x1 * sx), int(self.y1 * sy),
+                   int(self.x2 * sx), int(self.y2 * sy), space=frame_wh)
+
+
+@dataclass(frozen=True)
+class PreprocessCfg:
+    """Device-side frame conditioning (reference infer_two_stage_burr.py:275-280,
+    infer_enhanced_burr.py:38-66, src/refactor/preprocess.py:35-74)."""
+    rotate90_ccw: bool = False
+    normalize_wh: Optional[Tuple[int, int]] = None   # e.g. (800, 448)
+    enhance: bool = False                             # CLAHE(L)+denoise+sharpen
+    clahe_clip: float = 3.0
+    clahe_grid: Tuple[int, int] = (8, 8)
+    denoise: str = "bilateral"                        # "nlm" | "bilateral" | "none"
+    model_size: Tuple[int, int] = (512, 512)          # (w, h) fed to the model
+    normalization: str = "unit"                       # "unit" (/255) | "imagenet"
+
+
+@dataclass(frozen=True)
+class SegmentCfg:
+    """Stage-1 model + mask extraction."""
+    num_classes: int = 3
+    cable_cls: int = 1
+    tape_cls: int = 2
+    threshold_mode: str = "argmax"  # "argmax" | "per_class" | "exclusive"
+    # per-class probability thresholds (infer_video_simple.py:82-154)
+    class_thresholds: Tuple[float, ...] = ()
+    # exclusive-threshold params (infer_video_robust.py:70-99)
+    bg_margin: float = 0.05
+    ct_margin: float = 0.05
+
+
+@dataclass(frozen=True)
+class BurrCfg:
+    """Stage-2 burr detection. `method` selects the reference variant:
+      canny_band   — infer_two_stage_burr.py:50-119 (band 8, Canny 50/150)
+      multiscale   — infer_enhanced_burr.py:69-138 (Canny|Sobel|Laplacian)
+      laplacian    — src/refactor/burr_detector.py:11-66
+      dog          — src/refactor/burr_detector.py:69-118
+    """
+    method: str = "canny_band"
+    band_px: int = 8                   # dilate SE size (canny_band) / band_out*2+1 (laplacian)
+    canny_low: float = 50.0
+    canny_high: float = 150.0
+    blur_ksize: int = 5
+    blur_sigma: float = 1.0
+    sobel_thresh: float = 50.0         # multiscale
+    laplacian_thresh: float = 15.0     # multiscale / laplacian / dog
+    close_ksize: int = 3
+    open_ksize: int = 2
+    min_area: int = 30
+    max_area: int = 800
+    max_aspect: float = 5.0
+    min_w: int = 3
+    min_h: int = 3
+    strict_min_wh: bool = False        # multiscale uses >= (w,h >= 5); canny uses >
+    max_components: int = 64
+
+
+@dataclass(frozen=True)
+class PostprocessCfg:
+    """Shape-constraint mask cleanup (reference src/refactor/postprocess.py,
+    infer_video_robust.py:102-216)."""
+    enabled: bool = False
+    cable_min_area: int = 500
+    cable_min_aspect: float = 2.0
+    cable_max_center_offset: float = 0.35
+    tape_ring_dilate: int = 25
+    tape_ring_erode: int = 5
+    morph_cleanup_ksize: int = 0
+
+
+@dataclass(frozen=True)
+class GeometryCfg:
+    """Diameter/uniformity measurement (reference geometry_enhanced.py:113-185)."""
+    enabled: bool = False
+    mm_per_px: float = 0.05
+    min_valid_rows: int = 20
+    smooth_ksize: int = 31
+
+
+@dataclass(frozen=True)
+class PipelineCfg:
+    """Full per-preset pipeline description; static arg of the jitted step."""
+    name: str = "two_stage"
+    preprocess: PreprocessCfg = field(default_factory=PreprocessCfg)
+    segment: SegmentCfg = field(default_factory=SegmentCfg)
+    burr: BurrCfg = field(default_factory=BurrCfg)
+    postprocess: PostprocessCfg = field(default_factory=PostprocessCfg)
+    geometry: GeometryCfg = field(default_factory=GeometryCfg)
+    roi: Optional[ROI] = None
+    batch: int = 1
+
+    def replace(self, **kw) -> "PipelineCfg":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,340 @@
+"""Fused device-side pipeline stages.
+
+The reference runs stage 1 on GPU and everything else per-frame on host
+OpenCV with a D<->H round-trip per frame (SURVEY §3.2). Here the entire
+frame-batch pipeline — preprocess, UNet forward, mask extraction, ROI
+limiting, burr detection, statistics, geometry — is one jit program built
+from a PipelineCfg, so frames flow decode -> verdict with a single H->D
+upload and one small D->H stats/class-map download per batch.
+
+Stage semantics mirror, per cfg.name:
+  two_stage   reference infer_two_stage_burr.py:50-119, :269-348
+  enhanced    reference infer_enhanced_burr.py:38-138
+  laplacian   reference src/refactor/burr_detector.py:11-66
+  dog         reference src/refactor/burr_detector.py:69-118
+  robust      reference infer_video_robust.py:70-216 (exclusive threshold,
+              shape-scored cable CC, tape ring)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_tpu.ops import cc as _cc
+from unet_tpu.ops import clahe as _clahe
+from unet_tpu.ops import color as _color
+from unet_tpu.ops import edges as _edges
+from unet_tpu.ops import geometry as _geo
+from unet_tpu.ops import image as _image
+from unet_tpu.ops import morph as _morph
+from unet_tpu.pipeline.config import BurrCfg, PipelineCfg, PostprocessCfg
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class FrameOutputs(NamedTuple):
+    """Per-frame results downloaded to host each batch (small)."""
+    class_map: jnp.ndarray      # (B, H, W) uint8: 0 bg / 1 cable / 2 tape / 3 burr
+    cable_px: jnp.ndarray       # (B,) int32
+    tape_px: jnp.ndarray        # (B,) int32
+    burr_px: jnp.ndarray        # (B,) int32
+    diameters: Optional[_geo.DiameterMetrics]  # populated when geometry enabled
+
+
+# ---------------------------------------------------------------------------
+# preprocess
+# ---------------------------------------------------------------------------
+
+def preprocess_frames(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
+    """uint8 BGR (B, H, W, 3) -> conditioned BGR float32 frame batch at the
+    pipeline working resolution (rotate / normalize / enhance)."""
+    if frames_bgr.ndim != 4 or frames_bgr.shape[-1] != 3:
+        raise ValueError(
+            f"expected (B, H, W, 3) BGR frames, got {frames_bgr.shape}")
+    x = frames_bgr.astype(jnp.float32)
+    if cfg.preprocess.rotate90_ccw:
+        x = _image.rotate90_ccw(x)
+    if cfg.preprocess.normalize_wh is not None:
+        w, h = cfg.preprocess.normalize_wh
+        x = _image.resize_bilinear(x, (h, w))
+    if cfg.preprocess.enhance:
+        x = enhance_frames(x, cfg)
+    return x
+
+
+def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
+    """CLAHE(L) + denoise + sharpen enhancement preset
+    (reference infer_enhanced_burr.py:38-66) on device.
+
+    The reference's fastNlMeansDenoisingColored is approximated per
+    cfg.preprocess.denoise: 'bilateral' (the reference's own configurable
+    alternative, src/refactor/config.py:51) or 'none'; full NLM pending.
+    """
+    l, a, b = _color.bgr2lab(bgr)
+    l = _clahe.clahe(jnp.clip(jnp.round(l), 0, 255),
+                     cfg.preprocess.clahe_clip, cfg.preprocess.clahe_grid)
+    out = _color.lab2bgr(l, a, b)
+    if cfg.preprocess.denoise == "bilateral":
+        out = _image.bilateral_filter(out, d=7, sigma_color=25.0, sigma_space=5.0)
+    out = jnp.clip(_image.sharpen(out), 0.0, 255.0)
+    return out
+
+
+def model_input(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
+    """BGR float frames -> normalized RGB tensor at model resolution
+    (reference preprocess_image, infer_two_stage_burr.py:122-127)."""
+    w, h = cfg.preprocess.model_size
+    rgb = _color.bgr2rgb(frames_bgr)
+    x = _image.resize_bilinear(rgb, (h, w))
+    if cfg.preprocess.normalization == "imagenet":
+        return (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return x / 255.0
+
+
+# ---------------------------------------------------------------------------
+# segmentation mask extraction
+# ---------------------------------------------------------------------------
+
+def extract_masks(logits: jnp.ndarray, cfg: PipelineCfg):
+    """logits (B, h, w, C) -> (cable, tape) bool masks at model resolution.
+
+    threshold_mode:
+      argmax     plain argmax (infer_two_stage_burr.py:299-300)
+      per_class  per-class probability thresholds + priority merge
+                 (infer_video_simple.py:82-154)
+      exclusive  argmax among classes whose prob clears its threshold, with
+                 bg/cable-tape margins (infer_video_robust.py:70-99)
+    """
+    seg = cfg.segment
+    probs = jax.nn.softmax(logits, axis=-1)
+    if seg.threshold_mode == "argmax":
+        pred = jnp.argmax(probs, axis=-1)
+        return pred == seg.cable_cls, pred == seg.tape_cls
+
+    if seg.threshold_mode == "per_class":
+        th = np.asarray(seg.class_thresholds, np.float32)
+        cable = probs[..., seg.cable_cls] >= th[seg.cable_cls]
+        tape = probs[..., seg.tape_cls] >= th[seg.tape_cls]
+        # priority: higher class id wins on overlap (defect>tape>cable merge,
+        # reference infer_video.py:213-216)
+        cable = jnp.logical_and(cable, jnp.logical_not(tape))
+        return cable, tape
+
+    if seg.threshold_mode == "exclusive":
+        th = np.asarray(seg.class_thresholds, np.float32)
+        p_bg = probs[..., 0]
+        p_c = probs[..., seg.cable_cls]
+        p_t = probs[..., seg.tape_cls]
+        c_ok = jnp.logical_and(p_c >= th[seg.cable_cls], p_c > p_bg + seg.bg_margin)
+        t_ok = jnp.logical_and(p_t >= th[seg.tape_cls], p_t > p_bg + seg.bg_margin)
+        cable = jnp.logical_and(c_ok, p_c > p_t + seg.ct_margin)
+        tape = jnp.logical_and(t_ok, p_t >= p_c - seg.ct_margin)
+        tape = jnp.logical_and(tape, jnp.logical_not(cable))
+        return cable, tape
+
+    raise ValueError(seg.threshold_mode)
+
+
+def roi_limit(mask: jnp.ndarray, roi, frame_hw) -> jnp.ndarray:
+    """Zero the mask outside the ROI (reference infer_two_stage_burr.py:310-314).
+    Static box -> a multiplicative mask XLA folds into the producer."""
+    if roi is None:
+        return mask
+    h, w = frame_hw
+    r = roi.scaled((w, h)) if roi.space != (w, h) else roi
+    sel = np.zeros((h, w), np.bool_)
+    sel[max(r.y1, 0):min(r.y2, h), max(r.x1, 0):min(r.x2, w)] = True
+    return jnp.logical_and(mask, jnp.asarray(sel))
+
+
+# ---------------------------------------------------------------------------
+# burr detection (stage 2)
+# ---------------------------------------------------------------------------
+
+def _cc_filter(cand: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
+    """Connected-component area/aspect/size filter
+    (reference infer_two_stage_burr.py:100-119)."""
+    labels = _cc.connected_components(cand)
+    stats = _cc.component_stats(labels, b.max_components)
+    aspect = (jnp.maximum(stats.width, stats.height)
+              / (jnp.minimum(stats.width, stats.height) + 1e-6))
+    keep = jnp.logical_and(stats.area >= b.min_area, stats.area <= b.max_area)
+    keep = jnp.logical_and(keep, aspect < b.max_aspect)
+    if b.strict_min_wh:
+        keep = jnp.logical_and(keep, jnp.logical_and(stats.width >= b.min_w,
+                                                     stats.height >= b.min_h))
+    else:
+        keep = jnp.logical_and(keep, jnp.logical_and(stats.width > b.min_w,
+                                                     stats.height > b.min_h))
+    return _cc.keep_mask(labels, stats, keep)
+
+
+def burr_canny_band(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
+    """Two-stage burr detector (reference detect_burrs_on_cable,
+    infer_two_stage_burr.py:50-119): Canny edges inside the dilate-band."""
+    band = _morph.outer_band(cable, _morph.ellipse_kernel(b.band_px))
+    blurred = jnp.round(_image.gaussian_blur(gray, b.blur_ksize, b.blur_sigma,
+                                             channel_dim=False))
+    edges = _edges.canny(blurred, b.canny_low, b.canny_high)
+    cand = jnp.logical_and(edges, band)
+    cand = _morph.close_(cand, _morph.ellipse_kernel(b.close_ksize))
+    cand = _morph.open_(cand, _morph.ellipse_kernel(b.open_ksize))
+    return _cc_filter(cand, b)
+
+
+def burr_multiscale(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
+    """Enhanced multi-scale edge-fusion burr detector
+    (reference detect_burrs_enhanced, infer_enhanced_burr.py:69-138):
+    Canny | Sobel-magnitude | |Laplacian| inside a wide band."""
+    band = _morph.outer_band(cable, _morph.ellipse_kernel(b.band_px))
+    blurred = jnp.round(_image.gaussian_blur(gray, b.blur_ksize, b.blur_sigma,
+                                             channel_dim=False))
+    e_canny = _edges.canny(blurred, b.canny_low, b.canny_high)
+    mag = _edges.sobel_magnitude(gray)
+    # per-image max normalization to uint8 (infer_enhanced_burr.py:97)
+    maxmag = jnp.max(mag, axis=(-2, -1), keepdims=True)
+    mag_u8 = jnp.floor(mag / jnp.maximum(maxmag, 1e-6) * 255.0)
+    e_sobel = mag_u8 > b.sobel_thresh
+    lap_u8 = _edges.uint8_wrap(jnp.abs(_edges.laplacian(gray)))
+    e_lap = lap_u8 > b.laplacian_thresh
+    cand = jnp.logical_and(jnp.logical_or(jnp.logical_or(e_canny, e_sobel), e_lap), band)
+    cand = _morph.close_(cand, _morph.ellipse_kernel(b.close_ksize))
+    cand = _morph.open_(cand, _morph.ellipse_kernel(b.open_ksize))
+    return _cc_filter(cand, b)
+
+
+def burr_laplacian(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
+    """Laplacian band threshold (reference src/refactor/burr_detector.py:11-66).
+    band_px here is cfg.band_out; SE is (2*band_out+1) ellipse."""
+    band = _morph.outer_band(cable, _morph.ellipse_kernel(2 * b.band_px + 1))
+    lap_u8 = _edges.uint8_wrap(jnp.abs(_edges.laplacian(gray)))
+    cand = jnp.logical_and(lap_u8 > b.laplacian_thresh, band)
+    labels = _cc.connected_components(cand)
+    stats = _cc.component_stats(labels, b.max_components)
+    keep = jnp.logical_and(stats.area >= b.min_area, stats.area <= b.max_area)
+    return _cc.keep_mask(labels, stats, keep)
+
+
+def burr_dog(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
+    """DoG alternative (reference src/refactor/burr_detector.py:69-118)."""
+    band = _morph.outer_band(cable, _morph.ellipse_kernel(2 * b.band_px + 1))
+    d = _edges.dog(gray)
+    cand = jnp.logical_and(d > b.laplacian_thresh, band)
+    labels = _cc.connected_components(cand)
+    stats = _cc.component_stats(labels, b.max_components)
+    keep = jnp.logical_and(stats.area >= b.min_area, stats.area <= b.max_area)
+    return _cc.keep_mask(labels, stats, keep)
+
+
+_BURR_METHODS = {
+    "canny_band": burr_canny_band,
+    "multiscale": burr_multiscale,
+    "laplacian": burr_laplacian,
+    "dog": burr_dog,
+    "none": None,
+}
+
+
+# ---------------------------------------------------------------------------
+# shape postprocess (robust preset)
+# ---------------------------------------------------------------------------
+
+def filter_cable_by_shape(cable: jnp.ndarray, p: PostprocessCfg, roi_width: int) -> jnp.ndarray:
+    """Best-scoring cable component: score = area * aspect * (1 - offset)
+    with area/aspect/center gates (reference src/refactor/postprocess.py:12-76)."""
+    labels = _cc.connected_components(cable)
+    stats = _cc.component_stats(labels, 16)
+    aspect = (jnp.maximum(stats.width, stats.height)
+              / (jnp.minimum(stats.width, stats.height) + 1e-6))
+    offset = jnp.abs(stats.cx - roi_width / 2.0) / roi_width
+    ok = (stats.valid & (stats.area >= p.cable_min_area)
+          & (aspect >= p.cable_min_aspect) & (offset <= p.cable_max_center_offset))
+    score = jnp.where(ok, stats.area * aspect * (1.0 - offset), -1.0)
+    best = jnp.argmax(score, axis=-1)
+    keep = jnp.logical_and(
+        jax.nn.one_hot(best, score.shape[-1], dtype=bool),
+        jnp.take_along_axis(score, best[..., None], axis=-1) > 0)
+    return _cc.keep_mask(labels, stats, keep)
+
+
+def constrain_tape_to_ring(tape: jnp.ndarray, cable: jnp.ndarray,
+                           p: PostprocessCfg) -> jnp.ndarray:
+    """Tape limited to the dilate-erode ring around cable, largest CC kept
+    (reference src/refactor/postprocess.py:79-118)."""
+    ring = jnp.logical_and(
+        _morph.dilate(cable, _morph.ellipse_kernel(p.tape_ring_dilate)),
+        jnp.logical_not(_morph.erode(cable, _morph.ellipse_kernel(p.tape_ring_erode))))
+    constrained = jnp.logical_and(tape, ring)
+    return _cc.largest_component(constrained)
+
+
+# ---------------------------------------------------------------------------
+# the fused step
+# ---------------------------------------------------------------------------
+
+def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
+                 model: Any, cfg: PipelineCfg) -> FrameOutputs:
+    """Full fused pipeline over a frame batch. Jit with
+    `jax.jit(run_pipeline, static_argnums=(2, 3))` or via build_step()."""
+    frames = preprocess_frames(frames_bgr, cfg)
+    B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+
+    x = model_input(frames, cfg)
+    logits = model.apply(variables, x, train=False)
+    if isinstance(logits, (list, tuple)):
+        logits = logits[0]
+    cable_m, tape_m = extract_masks(logits, cfg)
+
+    # nearest-resize masks back to frame resolution (infer_two_stage_burr.py:307-308)
+    cable = _image.resize_nearest(cable_m, (H, W), channel_dim=False)
+    tape = _image.resize_nearest(tape_m, (H, W), channel_dim=False)
+
+    if cfg.postprocess.enabled:
+        roi_w = W if cfg.roi is None else (cfg.roi.scaled((W, H)).x2 - cfg.roi.scaled((W, H)).x1)
+        cable = filter_cable_by_shape(cable, cfg.postprocess, roi_w)
+        tape = constrain_tape_to_ring(tape, cable, cfg.postprocess)
+        if cfg.postprocess.morph_cleanup_ksize:
+            se = _morph.ellipse_kernel(cfg.postprocess.morph_cleanup_ksize)
+            cable = _morph.close_(_morph.open_(cable, se), se)
+            tape = _morph.close_(_morph.open_(tape, se), se)
+
+    cable = roi_limit(cable, cfg.roi, (H, W))
+    tape = roi_limit(tape, cfg.roi, (H, W))
+
+    burr_fn = _BURR_METHODS[cfg.burr.method]
+    if burr_fn is not None:
+        gray = _color.bgr2gray(frames)
+        burr = burr_fn(gray, cable, cfg.burr)
+    else:
+        burr = jnp.zeros_like(cable)
+
+    class_map = jnp.zeros((B, H, W), jnp.uint8)
+    class_map = jnp.where(cable, jnp.uint8(1), class_map)
+    class_map = jnp.where(tape, jnp.uint8(2), class_map)
+    class_map = jnp.where(burr, jnp.uint8(3), class_map)
+
+    diameters = None
+    if cfg.geometry.enabled:
+        g = cfg.geometry
+        pred = jnp.where(cable, 1, jnp.where(tape, 2, 0)).astype(jnp.int32)
+        diameters = _geo.diameter_metrics(
+            pred, mm_per_px=g.mm_per_px, min_valid_rows=g.min_valid_rows,
+            smooth_ksize=g.smooth_ksize)
+
+    return FrameOutputs(
+        class_map=class_map,
+        cable_px=jnp.sum(cable, axis=(-2, -1), dtype=jnp.int32),
+        tape_px=jnp.sum(tape, axis=(-2, -1), dtype=jnp.int32),
+        burr_px=jnp.sum(burr, axis=(-2, -1), dtype=jnp.int32),
+        diameters=diameters,
+    )
+
+
+def build_step(model: Any, cfg: PipelineCfg):
+    """Returns jitted fn(variables, frames_u8_bgr) -> FrameOutputs."""
+    return jax.jit(partial(run_pipeline, model=model, cfg=cfg))
