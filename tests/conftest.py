@@ -3,7 +3,8 @@ collective tests run without TPU hardware (the SURVEY §4 strategy)."""
 import os
 
 # Must be set before jax initializes its backend (conftest imports first).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NB: this environment force-sets JAX_PLATFORMS=axon at a level that wins
+# over the env var, so the platform is pinned via jax.config below instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -12,6 +13,7 @@ import jax
 import numpy as np
 import pytest
 
+jax.config.update("jax_platforms", "cpu")
 # This JAX build's DEFAULT matmul/conv precision is reduced (bf16-style MXU
 # passes) even on CPU; parity tests against torch need full f32 accumulate.
 jax.config.update("jax_default_matmul_precision", "highest")

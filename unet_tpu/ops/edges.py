@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unet_tpu.ops import cc as _cc
 from unet_tpu.ops.image import filter1d, filter2d, gaussian_blur
 
 # fixed-point tan(22.5 deg) * 2**15, exactly as in OpenCV's canny.cpp
@@ -212,10 +211,49 @@ def canny(img: jnp.ndarray, low: float, high: float,
                       cc_iters=cc_iters)
 
 
-def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, cc_iters: int = 16) -> jnp.ndarray:
+def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, cc_iters: int = 16,
+               pool_iters: int = 4) -> jnp.ndarray:
     """Keep strong pixels plus weak pixels 8-connected (transitively) to a
-    strong pixel: label {weak ∪ strong}, then keep components whose root
-    collects at least one strong member."""
-    both = jnp.logical_or(strong, weak)
-    labels = _cc.connected_components(both, connectivity=8, max_iters=cc_iters)
-    return jnp.logical_and(both, _cc.component_any(labels, strong))
+    strong pixel — OpenCV's stack-walk re-expressed as boolean reachability
+    propagation: per outer iteration, `pool_iters` 3x3 or-pools (diagonal /
+    short hops, reduce_window is near-free on TPU) then segmented-or scans
+    along rows and columns (whole straight runs at once), masked to the
+    candidate set. while_loop until fixpoint, bounded by `cc_iters`."""
+    cand = jnp.logical_or(strong, weak)
+    lead = cand.shape[:-2]
+
+    def or_pool(s):
+        return jnp.logical_and(
+            jax.lax.reduce_window(s, False, jax.lax.bitwise_or,
+                                  (1,) * len(lead) + (3, 3),
+                                  (1,) * (len(lead) + 2), "SAME"),
+            cand)
+
+    def or_scan(s, axis):
+        blocked = jnp.logical_not(cand)
+
+        def comb(a, c):
+            v1, b1 = a
+            v2, b2 = c
+            return jnp.where(b2, v2, jnp.logical_or(v1, v2)), jnp.logical_or(b1, b2)
+
+        f, _ = jax.lax.associative_scan(comb, (s, blocked), axis=axis)
+        r, _ = jax.lax.associative_scan(comb, (s, blocked), axis=axis, reverse=True)
+        return jnp.logical_and(jnp.logical_or(f, r), cand)
+
+    def body(state):
+        s, _, i = state
+        n = s
+        for _ in range(pool_iters):
+            n = or_pool(n)
+        n = or_scan(n, axis=n.ndim - 1)
+        n = or_scan(n, axis=n.ndim - 2)
+        return n, jnp.any(n != s), i + 1
+
+    def cond(state):
+        _, changed, i = state
+        return jnp.logical_and(changed, i < cc_iters)
+
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.logical_and(strong, cand), jnp.bool_(True), jnp.int32(0)))
+    return out

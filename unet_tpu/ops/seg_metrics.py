@@ -27,7 +27,8 @@ def confusion_matrix(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int) -
     t = target.reshape(-1).astype(jnp.int32)
     p = pred.reshape(-1).astype(jnp.int32)
     flat = t * num_classes + p
-    cm = jnp.zeros(num_classes * num_classes, jnp.int64).at[flat].add(1)
+    # int32 on device (x64 is off by default); accumulate epochs in int64 on host
+    cm = jnp.zeros(num_classes * num_classes, jnp.int32).at[flat].add(1)
     return cm.reshape(num_classes, num_classes)
 
 

@@ -1,0 +1,4 @@
+"""Mesh / sharding runtime (DP + spatial parallelism over ICI)."""
+from unet_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS, SPATIAL_AXIS, make_mesh, batch_sharding, replicated,
+    shard_train_step, shard_eval_step, shard_pipeline_step, put_batch)

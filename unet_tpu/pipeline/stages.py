@@ -240,6 +240,29 @@ _BURR_METHODS = {
 }
 
 
+def _burr_on_roi_crop(gray: jnp.ndarray, cable: jnp.ndarray, cfg: PipelineCfg,
+                      burr_fn, frame_hw, margin: int = 24) -> jnp.ndarray:
+    """Run the burr stage on a static crop around the ROI and paste back.
+
+    Burr candidates live within band_px (+morph kernels) of the ROI-limited
+    cable mask, so cropping to ROI + band + margin is semantics-preserving
+    except for edge-chain hysteresis paths that exit and re-enter the crop
+    (negligible; margin keeps filter context intact)."""
+    h, w = frame_hw
+    r = cfg.roi.scaled((w, h)) if cfg.roi.space != (w, h) else cfg.roi
+    pad = cfg.burr.band_px + max(cfg.burr.close_ksize, cfg.burr.open_ksize) + margin
+    x1 = max(r.x1 - pad, 0)
+    x2 = min(r.x2 + pad, w)
+    y1 = max(r.y1 - pad, 0)
+    y2 = min(r.y2 + pad, h)
+    # keep lane dim a multiple of 128 when possible (TPU tiling)
+    x2 = min(x1 + ((x2 - x1 + 127) // 128) * 128, w)
+    burr_crop = burr_fn(gray[..., y1:y2, x1:x2], cable[..., y1:y2, x1:x2], cfg.burr)
+    out = jnp.zeros(gray.shape, jnp.bool_)
+    return jax.lax.dynamic_update_slice(
+        out, burr_crop, (0,) * (gray.ndim - 2) + (y1, x1))
+
+
 # ---------------------------------------------------------------------------
 # shape postprocess (robust preset)
 # ---------------------------------------------------------------------------
@@ -309,7 +332,13 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
     burr_fn = _BURR_METHODS[cfg.burr.method]
     if burr_fn is not None:
         gray = _color.bgr2gray(frames)
-        burr = burr_fn(gray, cable, cfg.burr)
+        if cfg.roi is not None:
+            # Stage 2 only looks at the band around ROI-limited cable, so run
+            # it on a static ROI crop (+context margin) — ~4x fewer pixels on
+            # the 800x448 path, which is where the CC/scan costs live.
+            burr = _burr_on_roi_crop(gray, cable, cfg, burr_fn, (H, W))
+        else:
+            burr = burr_fn(gray, cable, cfg.burr)
     else:
         burr = jnp.zeros_like(cable)
 

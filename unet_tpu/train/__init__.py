@@ -1,0 +1,4 @@
+"""Training stack: optax-based trainer with reference-parity hyperparameters."""
+from unet_tpu.train.trainer import (  # noqa: F401
+    LossCfg, OptimCfg, TrainState, create_train_state, make_train_step,
+    make_eval_step, build_optimizer, build_schedule)
