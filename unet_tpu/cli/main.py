@@ -1,0 +1,190 @@
+"""Unified CLI — the reference's script zoo as subcommands.
+
+  infer     the 22 infer_* scripts via --preset (pipeline.presets)
+  train     the tools/train*.py family via --recipe (train.recipes)
+  inspect   tools/inspect_tool.py serve-style video/image inspection
+  export    tools/export_onnx.py equivalent via jax.export AOT
+  bench     throughput measurement (bench.py logic, importable)
+
+Run `python -m unet_tpu.cli <cmd> --help`.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+
+def _ensure_backend() -> None:
+    """Fall back to CPU when the accelerator plugin is absent/unhealthy."""
+    import jax
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"note: accelerator backend unavailable ({e}); using CPU")
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _build_model(num_classes: int, arch: str, dtype_str: str):
+    import jax.numpy as jnp
+
+    from unet_tpu.models import LightweightNestedUNet, NestedUNet, SimpleUNet
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_str]
+    if arch == "nested_unet":
+        return NestedUNet(num_classes=num_classes, deep_supervision=True, dtype=dtype)
+    if arch == "nested_unet_resnet50":
+        return NestedUNet(num_classes=num_classes, deep_supervision=True,
+                          pretrained_encoder=True, dtype=dtype)
+    if arch == "simple_unet":
+        return SimpleUNet(num_classes=num_classes, dtype=dtype)
+    if arch.startswith("lightweight"):
+        enc = arch.split(":", 1)[1] if ":" in arch else "mobilenet_v3_small"
+        return LightweightNestedUNet(num_classes=num_classes, encoder=enc, dtype=dtype)
+    raise SystemExit(f"unknown arch {arch!r}")
+
+
+def cmd_infer(args) -> int:
+    _ensure_backend()
+    import jax
+    import jax.numpy as jnp
+
+    from unet_tpu.core.checkpoint import load_model_variables
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine, get_preset
+    from unet_tpu.inspect import ThresholdConfig
+
+    preset_kwargs = {}
+    if args.preset == "two_stage":
+        preset_kwargs = dict(sensitivity=args.burr_sensitivity,
+                             rotate=args.rotate, normalize=args.normalize_resolution)
+    cfg = get_preset(args.preset, **preset_kwargs)
+    if args.model_size:
+        cfg = cfg.replace(preprocess=cfg.preprocess.__class__(
+            **{**cfg.preprocess.__dict__,
+               "model_size": (args.model_size, args.model_size)}))
+
+    num_classes = cfg.segment.num_classes
+    arch = args.arch
+    if args.model:
+        variables, info = load_model_variables(args.model)
+        if "num_classes" in info and info["num_classes"] != num_classes:
+            print(f"note: checkpoint has {info['num_classes']} classes; "
+                  f"overriding preset's {num_classes}")
+            num_classes = info["num_classes"]
+            cfg = cfg.replace(segment=cfg.segment.__class__(
+                **{**cfg.segment.__dict__, "num_classes": num_classes}))
+        if info.get("kind") == "simple_unet":
+            arch = "simple_unet"
+        model = _build_model(num_classes, arch, args.dtype)
+    else:
+        print("warning: no --model given; using random weights (smoke mode)")
+        model = _build_model(num_classes, arch, args.dtype)
+        w, h = cfg.preprocess.model_size
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+                               train=False)
+
+    ecfg = EngineConfig(
+        batch=args.batch, frame_stride=args.frame_stride,
+        print_interval=args.print_interval, write_video=not args.no_video,
+        output_dir=args.output, window_enabled=cfg.geometry.enabled,
+        thresholds=ThresholdConfig())
+    engine = InferenceEngine(model, variables, cfg, ecfg)
+    engine.process_video(args.video, max_frames=args.max_frames)
+    return 0
+
+
+def cmd_train(args) -> int:
+    _ensure_backend()
+    from unet_tpu.train.recipes import run_recipe
+
+    return run_recipe(args)
+
+
+def cmd_inspect(args) -> int:
+    _ensure_backend()
+    from unet_tpu.serve.inspect_tool import run_inspection
+
+    return run_inspection(args.config, args.video, args.output)
+
+
+def cmd_export(args) -> int:
+    _ensure_backend()
+    from unet_tpu.export.aot import export_model
+
+    export_model(args.model, args.output, arch=args.arch,
+                 input_size=args.input_size, batch=args.batch)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="unet_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="video/image-dir inference with a preset")
+    pi.add_argument("--video", required=True, help="video file or image dir")
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--preset", default="two_stage")
+    pi.add_argument("--model", default=None, help=".pth or orbax checkpoint dir")
+    pi.add_argument("--arch", default="nested_unet")
+    pi.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    pi.add_argument("--batch", type=int, default=8)
+    pi.add_argument("--frame-stride", type=int, default=1)
+    pi.add_argument("--max-frames", type=int, default=None)
+    pi.add_argument("--print-interval", type=int, default=60)
+    pi.add_argument("--no-video", action="store_true")
+    pi.add_argument("--model-size", type=int, default=None)
+    pi.add_argument("--rotate", action="store_true",
+                    help="rotate 90 CCW (reference --rotate)")
+    pi.add_argument("--normalize-resolution", action="store_true",
+                    help="resize to 800x448 (reference --normalize-resolution)")
+    pi.add_argument("--burr-sensitivity", default="medium",
+                    choices=["low", "medium", "high"])
+    pi.set_defaults(fn=cmd_infer)
+
+    pt = sub.add_parser("train", help="training recipes (tools/train*.py family)")
+    pt.add_argument("--recipe", default="3class_advanced")
+    pt.add_argument("--data-root", required=True)
+    pt.add_argument("--output", default="checkpoints")
+    pt.add_argument("--epochs", type=int, default=None)
+    pt.add_argument("--batch", type=int, default=8)
+    pt.add_argument("--image-size", type=int, default=None)
+    pt.add_argument("--resume", default=None)
+    pt.add_argument("--seed", type=int, default=42)
+    pt.add_argument("--n-devices", type=int, default=None)
+    pt.set_defaults(fn=cmd_train)
+
+    ps = sub.add_parser("inspect", help="yaml-config inspection serve")
+    ps.add_argument("--config", required=True)
+    ps.add_argument("--video", required=True)
+    ps.add_argument("--output", default="./inspection_output")
+    ps.set_defaults(fn=cmd_inspect)
+
+    pe = sub.add_parser("export", help="AOT export (StableHLO via jax.export)")
+    pe.add_argument("--model", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--arch", default="nested_unet")
+    pe.add_argument("--input-size", type=int, default=512)
+    pe.add_argument("--batch", type=int, default=None,
+                    help="None = dynamic batch dim (reference export_onnx.py)")
+    pe.set_defaults(fn=cmd_export)
+
+    pb = sub.add_parser("bench", help="run the throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,2 @@
+"""Host I/O: video/image sources, writers, camera acquisition."""
+from unet_tpu.io.video import VideoReader, ImageDirReader, VideoWriter, VideoMeta  # noqa: F401

@@ -2,4 +2,6 @@
 reference's 22-script zoo (SURVEY §1 'script zoo' / §7 architecture)."""
 from unet_tpu.pipeline.config import (  # noqa: F401
     ROI, BurrCfg, GeometryCfg, PipelineCfg, PostprocessCfg, PreprocessCfg, SegmentCfg)
-from unet_tpu.pipeline import stages  # noqa: F401
+from unet_tpu.pipeline import stages, visualize  # noqa: F401
+from unet_tpu.pipeline.presets import PRESETS, get_preset  # noqa: F401
+from unet_tpu.pipeline.engine import EngineConfig, InferenceEngine  # noqa: F401

@@ -1,0 +1,135 @@
+"""Named pipeline presets reproducing the reference CLI zoo.
+
+Each preset is a PipelineCfg (+EngineConfig hints) carrying the exact
+constants of its reference script — the 22 infer_* scripts collapse to
+`cli infer --preset <name>` (SURVEY §1/§7).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from unet_tpu.pipeline.config import (ROI, BurrCfg, GeometryCfg, PipelineCfg,
+                                      PostprocessCfg, PreprocessCfg, SegmentCfg)
+
+# Burr sensitivity presets (reference infer_two_stage_burr.py:194-198; only
+# the area bounds reach the detector — band_out/laplacian_threshold are dead
+# config in the reference's canny path).
+BURR_SENSITIVITY = {
+    "low": dict(min_area=50, max_area=800),
+    "medium": dict(min_area=30, max_area=800),
+    "high": dict(min_area=20, max_area=1000),
+}
+
+
+def two_stage(sensitivity: str = "medium", rotate: bool = False,
+              normalize: bool = False) -> PipelineCfg:
+    """Flagship detector (reference infer_two_stage_burr.py): NestedUNet
+    3-class @512, FIXED_ROI_512 {x 140-270}, Canny(50,150) band burr."""
+    s = BURR_SENSITIVITY[sensitivity]
+    return PipelineCfg(
+        name="two_stage",
+        preprocess=PreprocessCfg(rotate90_ccw=rotate,
+                                 normalize_wh=(800, 448) if normalize else None),
+        segment=SegmentCfg(num_classes=3),
+        burr=BurrCfg(method="canny_band", band_px=8, canny_low=50, canny_high=150,
+                     close_ksize=3, open_ksize=2, max_aspect=5.0, min_w=3, min_h=3,
+                     strict_min_wh=False, **s),
+        roi=ROI(140, 0, 270, 512),
+    )
+
+
+def enhanced(enhance: bool = True) -> PipelineCfg:
+    """Enhanced detector (reference infer_enhanced_burr.py): CLAHE+denoise+
+    sharpen preprocessing, multi-scale Canny|Sobel|Laplacian fusion, wide
+    25px band, VERTICAL_ROI {x 200-600 in 800x448}, forced rotate+normalize."""
+    return PipelineCfg(
+        name="enhanced",
+        preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448),
+                                 enhance=enhance),
+        segment=SegmentCfg(num_classes=3),
+        burr=BurrCfg(method="multiscale", band_px=25, canny_low=30, canny_high=100,
+                     sobel_thresh=50, laplacian_thresh=15, close_ksize=5,
+                     open_ksize=3, min_area=50, max_area=500, max_aspect=6.0,
+                     min_w=5, min_h=5, strict_min_wh=True),
+        roi=ROI(200, 0, 600, 448, space=(800, 448)),
+    )
+
+
+def high_res_roi() -> PipelineCfg:
+    """2448x2048 path (reference infer_high_res_custom_roi.py): rotate 90 CCW,
+    normalize to 800x448, CUSTOM_ROI {x 250-550}."""
+    cfg = two_stage()
+    return cfg.replace(
+        name="high_res_roi",
+        preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448)),
+        roi=ROI(250, 0, 550, 448, space=(800, 448)),
+    )
+
+
+def wrap_uniformity(num_classes: int = 4) -> PipelineCfg:
+    """Wrap-uniformity inspection (reference infer_wrap_uniformity.py:33-131):
+    4-class model @256, tape/cable diameter ratio per frame, no burr stage."""
+    return PipelineCfg(
+        name="wrap_uniformity",
+        preprocess=PreprocessCfg(model_size=(256, 256)),
+        segment=SegmentCfg(num_classes=num_classes),
+        burr=BurrCfg(method="none"),
+        geometry=GeometryCfg(enabled=True),
+    )
+
+
+def wrap_7class() -> PipelineCfg:
+    """7-class uniformity variant (reference infer_wrap_7class.py)."""
+    return wrap_uniformity(num_classes=7).replace(name="wrap_7class")
+
+
+def production() -> PipelineCfg:
+    """Production engine wiring geometry + window aggregation
+    (reference infer_video_production.py:110-226)."""
+    cfg = two_stage()
+    return cfg.replace(name="production", geometry=GeometryCfg(enabled=True))
+
+
+def robust() -> PipelineCfg:
+    """Best post-processing stack (reference infer_video_robust.py:70-216):
+    exclusive thresholds, shape-scored cable CC, tape ring."""
+    return PipelineCfg(
+        name="robust",
+        segment=SegmentCfg(num_classes=3, threshold_mode="exclusive",
+                           class_thresholds=(0.0, 0.5, 0.5),
+                           bg_margin=0.05, ct_margin=0.05),
+        burr=BurrCfg(method="none"),
+        postprocess=PostprocessCfg(enabled=True),
+        geometry=GeometryCfg(enabled=True),
+    )
+
+
+def simple_7class() -> PipelineCfg:
+    """SimpleUNet 7-class @256 with per-class probability thresholds
+    (reference infer_video_simple.py:82-154)."""
+    return PipelineCfg(
+        name="simple_7class",
+        preprocess=PreprocessCfg(model_size=(256, 256)),
+        segment=SegmentCfg(num_classes=7, threshold_mode="per_class",
+                           class_thresholds=(0.0, 0.35, 0.35, 0.70, 0.70, 0.70, 0.70)),
+        burr=BurrCfg(method="none"),
+        geometry=GeometryCfg(enabled=True),
+    )
+
+
+PRESETS = {
+    "two_stage": two_stage,
+    "enhanced": enhanced,
+    "high_res_roi": high_res_roi,
+    "wrap_uniformity": wrap_uniformity,
+    "wrap_7class": wrap_7class,
+    "production": production,
+    "robust": robust,
+    "simple_7class": simple_7class,
+}
+
+
+def get_preset(name: str, **kwargs) -> PipelineCfg:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name](**kwargs)
