@@ -118,3 +118,38 @@ def test_batched(rng):
     for i in range(3):
         single = np.asarray(cc.connected_components(jnp.asarray(ms[i])))
         assert np.array_equal(labs[i], single)
+
+
+def test_filter_components_by_geometry_parity(rng):
+    """Fast fused-bbox filter path must match the cv2-loop golden exactly."""
+    m = (rng.random((64, 80)) > 0.85).astype(np.uint8)
+    m = cv2.dilate(m, np.ones((2, 2), np.uint8))
+    n, lab, st, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+    want = np.zeros_like(m)
+    for i in range(1, n):
+        a, w, h = st[i, cv2.CC_STAT_AREA], st[i, cv2.CC_STAT_WIDTH], st[i, cv2.CC_STAT_HEIGHT]
+        aspect = max(w, h) / (min(w, h) + 1e-6)
+        if 10 <= a <= 200 and aspect < 5.0 and w > 3 and h > 3:
+            want[lab == i] = 1
+    got = np.asarray(cc.filter_components_by_geometry(
+        jnp.asarray(m), 10, 200, max_aspect=5.0, min_w=3, min_h=3)).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_filter_components_area_only(rng):
+    m = (rng.random((48, 64)) > 0.8).astype(np.uint8)
+    n, lab, st, _ = cv2.connectedComponentsWithStats(m, connectivity=8)
+    want = np.zeros_like(m)
+    for i in range(1, n):
+        if 3 <= st[i, cv2.CC_STAT_AREA] <= 50:
+            want[lab == i] = 1
+    got = np.asarray(cc.filter_components_by_geometry(jnp.asarray(m), 3, 50)).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_filter_components_batched(rng):
+    ms = (rng.random((3, 32, 40)) > 0.8).astype(np.uint8)
+    out = np.asarray(cc.filter_components_by_geometry(jnp.asarray(ms), 2, 30))
+    for i in range(3):
+        single = np.asarray(cc.filter_components_by_geometry(jnp.asarray(ms[i]), 2, 30))
+        assert np.array_equal(out[i], single)

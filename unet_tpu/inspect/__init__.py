@@ -8,3 +8,5 @@ from unet_tpu.inspect.detectors import (  # noqa: F401
     FrameQualityGate, QualityResult, quality_stats, bbox_iou)
 from unet_tpu.inspect.decision import (  # noqa: F401
     Metrics, Finding, SimpleThresholds, compute_metrics, decide)
+from unet_tpu.inspect.uniformity import (  # noqa: F401
+    WrapUniformityMonitor, measure_cable_tape_diameter_px)

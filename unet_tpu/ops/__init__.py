@@ -18,4 +18,4 @@ whole two-stage pipeline can run inside one jit program:
   numpy metric loops                           ops.seg_metrics.confusion_matrix
 """
 
-from unet_tpu.ops import color, image, morph, edges, cc, clahe, geometry, seg_metrics  # noqa: F401
+from unet_tpu.ops import color, image, morph, edges, cc, clahe, geometry, seg_metrics, frames  # noqa: F401

@@ -240,6 +240,111 @@ def largest_component(mask: jnp.ndarray, min_area: int = 0, connectivity: int = 
     return _batched(single, labels, stats.label, stats.area)
 
 
+def _minmax_pool(v: jnp.ndarray, fg: jnp.ndarray, take_max: bool, sentinel) -> jnp.ndarray:
+    """3x3 neighbour max (or min via negation); `sentinel` masks background
+    (+big for min, -big for max)."""
+    masked = jnp.where(fg, v, sentinel)
+    if take_max:
+        out = jax.lax.reduce_window(masked, sentinel, jax.lax.max, (3, 3), (1, 1), "SAME")
+        return jnp.where(fg, jnp.maximum(out, masked), v)
+    out = -jax.lax.reduce_window(-masked, -sentinel, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return jnp.where(fg, jnp.minimum(out, masked), v)
+
+
+def _scan_minmax(v: jnp.ndarray, fg: jnp.ndarray, axis: int, take_max: bool,
+                 sentinel) -> jnp.ndarray:
+    val = jnp.where(fg, v, sentinel)
+    b = jnp.logical_not(fg)
+    op = jnp.maximum if take_max else jnp.minimum
+
+    def combine(a, c):
+        v1, b1 = a
+        v2, b2 = c
+        return jnp.where(b2, v2, op(v1, v2)), jnp.logical_or(b1, b2)
+
+    f, _ = jax.lax.associative_scan(combine, (val, b), axis=axis)
+    r, _ = jax.lax.associative_scan(combine, (val, b), axis=axis, reverse=True)
+    return jnp.where(fg, op(f, r), v)
+
+
+def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 4):
+    """Fused labels + per-pixel component bbox: min_r/max_r/min_c/max_c
+    propagate with the same pool+scan machinery as the labels (all four are
+    segment-associative extrema), so every foreground pixel ends up knowing
+    its component's bounding box without any per-component scatter."""
+    H, W = mask.shape
+    fg = mask.astype(jnp.bool_)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    lab = jnp.where(fg, rows * W + cols, rows * W + cols)
+    state0 = (lab, rows, rows, cols, cols)  # lab, min_r, max_r, min_c, max_c
+
+    def body(carry):
+        (lab, mnr, mxr, mnc, mxc), _, i = carry
+        for _ in range(pool_iters):
+            lab = _min_pool(lab, fg, 8, big)
+            mnr = _minmax_pool(mnr, fg, False, big)
+            mxr = _minmax_pool(mxr, fg, True, -big)
+            mnc = _minmax_pool(mnc, fg, False, big)
+            mxc = _minmax_pool(mxc, fg, True, -big)
+        for axis in (1, 0):
+            lab = _row_scan_min(lab, fg, axis=axis)
+            mnr = _scan_minmax(mnr, fg, axis, False, big)
+            mxr = _scan_minmax(mxr, fg, axis, True, -big)
+            mnc = _scan_minmax(mnc, fg, axis, False, big)
+            mxc = _scan_minmax(mxc, fg, axis, True, -big)
+        new = (lab, mnr, mxr, mnc, mxc)
+        changed = jnp.any(jnp.stack([jnp.any(a != b) for a, b in zip(new, carry[0])]))
+        return new, changed, i + 1
+
+    def cond(carry):
+        _, changed, i = carry
+        return jnp.logical_and(changed, i < max_iters)
+
+    (lab, mnr, mxr, mnc, mxc), _, _ = jax.lax.while_loop(
+        cond, body, (state0, jnp.bool_(True), jnp.int32(0)))
+    labels = jnp.where(fg, lab, -1)
+    return labels, mnr, mxr, mnc, mxc
+
+
+def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: int,
+                                  max_aspect: float = None, min_w: int = 0,
+                                  min_h: int = 0, strict_min_wh: bool = False,
+                                  max_iters: int = 16) -> jnp.ndarray:
+    """Keep pixels whose component satisfies the reference's CC area/aspect/
+    size gates (infer_two_stage_burr.py:100-119) — the fast path for the burr
+    filter: fused bbox propagation + ONE area scatter + ONE gather instead of
+    7 scatters + top-k (per-component area is the only non-extremum stat).
+    """
+    def single(m):
+        H, W = m.shape
+        hw = H * W
+        labels, mnr, mxr, mnc, mxc = _cc_bbox_single(m, max_iters)
+        labf = labels.reshape(-1)
+        fgf = labf >= 0
+        bins = jnp.where(fgf, labf, hw)
+        areas = jnp.zeros(hw + 1, jnp.int32).at[bins].add(jnp.where(fgf, 1, 0))
+        area_px = areas[bins].reshape(H, W)
+
+        width = mxc - mnc + 1
+        height = mxr - mnr + 1
+        keep = jnp.logical_and(area_px >= min_area, area_px <= max_area)
+        if max_aspect is not None:
+            aspect = (jnp.maximum(width, height).astype(jnp.float32)
+                      / (jnp.minimum(width, height).astype(jnp.float32) + 1e-6))
+            keep = jnp.logical_and(keep, aspect < max_aspect)
+        if strict_min_wh:
+            keep = jnp.logical_and(keep, jnp.logical_and(width >= min_w,
+                                                         height >= min_h))
+        else:
+            keep = jnp.logical_and(keep, jnp.logical_and(width > min_w,
+                                                         height > min_h))
+        return jnp.logical_and(m.astype(jnp.bool_), keep)
+
+    return _batched(single, mask)
+
+
 def count_components(mask: jnp.ndarray, connectivity: int = 8,
                      max_components: int = 64, max_iters: int = 16) -> jnp.ndarray:
     """Number of connected components (excluding background), clipped at

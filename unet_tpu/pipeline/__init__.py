@@ -5,3 +5,5 @@ from unet_tpu.pipeline.config import (  # noqa: F401
 from unet_tpu.pipeline import stages, visualize  # noqa: F401
 from unet_tpu.pipeline.presets import PRESETS, get_preset  # noqa: F401
 from unet_tpu.pipeline.engine import EngineConfig, InferenceEngine  # noqa: F401
+from unet_tpu.pipeline.sliding_window import (  # noqa: F401
+    SlidingWindowInference, apply_hysteresis, filter_by_cc_and_prob, scan_thresholds)

@@ -158,20 +158,11 @@ def roi_limit(mask: jnp.ndarray, roi, frame_hw) -> jnp.ndarray:
 
 def _cc_filter(cand: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
     """Connected-component area/aspect/size filter
-    (reference infer_two_stage_burr.py:100-119)."""
-    labels = _cc.connected_components(cand)
-    stats = _cc.component_stats(labels, b.max_components)
-    aspect = (jnp.maximum(stats.width, stats.height)
-              / (jnp.minimum(stats.width, stats.height) + 1e-6))
-    keep = jnp.logical_and(stats.area >= b.min_area, stats.area <= b.max_area)
-    keep = jnp.logical_and(keep, aspect < b.max_aspect)
-    if b.strict_min_wh:
-        keep = jnp.logical_and(keep, jnp.logical_and(stats.width >= b.min_w,
-                                                     stats.height >= b.min_h))
-    else:
-        keep = jnp.logical_and(keep, jnp.logical_and(stats.width > b.min_w,
-                                                     stats.height > b.min_h))
-    return _cc.keep_mask(labels, stats, keep)
+    (reference infer_two_stage_burr.py:100-119) via the fused
+    bbox-propagation fast path (no per-component tables, no top-K cap)."""
+    return _cc.filter_components_by_geometry(
+        cand, b.min_area, b.max_area, max_aspect=b.max_aspect,
+        min_w=b.min_w, min_h=b.min_h, strict_min_wh=b.strict_min_wh)
 
 
 def burr_canny_band(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
@@ -214,10 +205,7 @@ def burr_laplacian(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.nda
     band = _morph.outer_band(cable, _morph.ellipse_kernel(2 * b.band_px + 1))
     lap_u8 = _edges.uint8_wrap(jnp.abs(_edges.laplacian(gray)))
     cand = jnp.logical_and(lap_u8 > b.laplacian_thresh, band)
-    labels = _cc.connected_components(cand)
-    stats = _cc.component_stats(labels, b.max_components)
-    keep = jnp.logical_and(stats.area >= b.min_area, stats.area <= b.max_area)
-    return _cc.keep_mask(labels, stats, keep)
+    return _cc.filter_components_by_geometry(cand, b.min_area, b.max_area)
 
 
 def burr_dog(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
@@ -225,10 +213,7 @@ def burr_dog(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
     band = _morph.outer_band(cable, _morph.ellipse_kernel(2 * b.band_px + 1))
     d = _edges.dog(gray)
     cand = jnp.logical_and(d > b.laplacian_thresh, band)
-    labels = _cc.connected_components(cand)
-    stats = _cc.component_stats(labels, b.max_components)
-    keep = jnp.logical_and(stats.area >= b.min_area, stats.area <= b.max_area)
-    return _cc.keep_mask(labels, stats, keep)
+    return _cc.filter_components_by_geometry(cand, b.min_area, b.max_area)
 
 
 _BURR_METHODS = {
