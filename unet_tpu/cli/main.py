@@ -123,6 +123,47 @@ def cmd_bench(args) -> int:
     return 0
 
 
+
+def cmd_tools(args) -> int:
+    from unet_tpu import tools as T
+
+    if args.tool == "extract-frames":
+        roi = tuple(map(int, args.roi.split(","))) if args.roi else None
+        T.extract_frames(args.video, args.out, fps=args.fps, roi=roi,
+                         dedup=args.dedup)
+    elif args.tool == "audit":
+        import json as _json
+        report = T.audit_labelme_dir(args.labelme_dir)
+        print(_json.dumps({k: (v if not isinstance(v, list) else len(v))
+                           for k, v in report.items()}, indent=2))
+        if args.out:
+            from pathlib import Path
+            Path(args.out).write_text(_json.dumps(report, indent=2, default=str))
+    elif args.tool == "class-dist":
+        import json as _json
+        print(_json.dumps(T.class_pixel_distribution(args.mask_dir,
+                                                     args.num_classes), indent=2))
+    elif args.tool == "remap-masks":
+        mapping = dict(pair.split(":") for pair in args.mapping.split(","))
+        n = T.remap_masks(args.mask_dir, args.out,
+                          {int(k): int(v) for k, v in mapping.items()})
+        print(f"remapped {n} masks")
+    elif args.tool == "prepare-dataset":
+        from unet_tpu.data.labelme import prepare_dataset
+        prepare_dataset(args.labelme_dir, args.images_dir, args.out)
+    elif args.tool == "hard-negatives":
+        T.create_hard_negative_dataset(args.videos_dir, args.out,
+                                       num_frames=args.num_frames)
+    elif args.tool == "calibrate-roi":
+        roi = T.propose_roi_from_video(args.video)
+        T.save_roi_json(args.out or "roi.json", roi["x"], roi["y"],
+                        roi["w"], roi["h"])
+        print(f"proposed ROI: {roi}")
+    else:
+        raise SystemExit(f"unknown tool {args.tool!r}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="unet_tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -175,6 +216,25 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--batch", type=int, default=None,
                     help="None = dynamic batch dim (reference export_onnx.py)")
     pe.set_defaults(fn=cmd_export)
+
+
+    pk = sub.add_parser("tools", help="dataset/calibration utilities")
+    pk.add_argument("tool", choices=["extract-frames", "audit", "class-dist",
+                                     "remap-masks", "prepare-dataset",
+                                     "hard-negatives", "calibrate-roi"])
+    pk.add_argument("--video", default=None)
+    pk.add_argument("--videos-dir", default=None)
+    pk.add_argument("--labelme-dir", default=None)
+    pk.add_argument("--images-dir", default=None)
+    pk.add_argument("--mask-dir", default=None)
+    pk.add_argument("--out", default=None)
+    pk.add_argument("--fps", type=float, default=5.0)
+    pk.add_argument("--roi", default="")
+    pk.add_argument("--dedup", type=float, default=0.97)
+    pk.add_argument("--num-classes", type=int, default=7)
+    pk.add_argument("--num-frames", type=int, default=200)
+    pk.add_argument("--mapping", default="")
+    pk.set_defaults(fn=cmd_tools)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
     pb.set_defaults(fn=cmd_bench)
