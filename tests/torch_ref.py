@@ -93,3 +93,67 @@ class TSimpleUNet(nn.Module):
         d2 = run(self.dec2, torch.cat([self.up2(d3), e2], 1))
         d1 = run(self.dec1, torch.cat([self.up1(d2), e1], 1))
         return self.final(d1)
+
+
+class TCNA(nn.Sequential):
+    """Conv-BN-Act with torchvision Conv2dNormActivation key layout."""
+
+    def __init__(self, cin, cout, k, stride=1, groups=1, act="hs"):
+        layers = [nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                            bias=False),
+                  nn.BatchNorm2d(cout, eps=1e-3, momentum=0.01)]
+        if act == "hs":
+            layers.append(nn.Hardswish())
+        elif act == "relu":
+            layers.append(nn.ReLU())
+        super().__init__(*layers)
+
+
+class TSE(nn.Module):
+    def __init__(self, channels, squeeze):
+        super().__init__()
+        self.fc1 = nn.Conv2d(channels, squeeze, 1)
+        self.fc2 = nn.Conv2d(squeeze, channels, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = F.hardsigmoid(self.fc2(F.relu(self.fc1(s))))
+        return x * s
+
+
+class TInvertedResidual(nn.Module):
+    def __init__(self, cin, k, exp, out, use_se, act, stride, make_div):
+        super().__init__()
+        layers = []
+        if exp != cin:
+            layers.append(TCNA(cin, exp, 1, act=act))
+        layers.append(TCNA(exp, exp, k, stride, groups=exp, act=act))
+        if use_se:
+            layers.append(TSE(exp, make_div(exp // 4)))
+        layers.append(TCNA(exp, out, 1, act="none"))
+        self.block = nn.Sequential(*layers)
+        self.use_res = stride == 1 and cin == out
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+class TMobileNetV3Features(nn.Module):
+    """torchvision-key-compatible mobilenet_v3 features stack built from the
+    same spec tables as the Flax encoder."""
+
+    def __init__(self, spec, last):
+        super().__init__()
+        from unet_tpu.models.mobilenet import _make_divisible
+        layers = [TCNA(3, 16, 3, 2, act="hs")]
+        cin = 16
+        for (k, exp, out, use_se, act, stride) in spec:
+            layers.append(TInvertedResidual(cin, k, exp, out, use_se, act,
+                                            stride, _make_divisible))
+            cin = out
+        layers.append(TCNA(cin, last, 1, act="hs"))
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.features(x)

@@ -150,3 +150,46 @@ def convert_state_dict(sd: Dict[str, np.ndarray], kind: str | None = None) -> Di
 def convert_checkpoint(path: str, kind: str | None = None) -> Dict[str, Any]:
     """Load + convert a torch .pth into Flax variables."""
     return convert_state_dict(load_torch_checkpoint(path), kind)
+
+
+def convert_mobilenet_encoder(sd: Dict[str, np.ndarray], variant: str = "small",
+                              torch_prefix: str = "") -> Dict[str, Any]:
+    """torchvision mobilenet_v3_{small,large} features.* state dict ->
+    Flax MobileNetV3Encoder variables (models.mobilenet). Supports the
+    ImageNet-pretrained encoder option of LightweightNestedUNet
+    (reference unetpp_lightweight.py:122-151)."""
+    from unet_tpu.models.mobilenet import LARGE_SPEC, SMALL_SPEC
+
+    spec = SMALL_SPEC if variant == "small" else LARGE_SPEC
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    pf = torch_prefix
+
+    def cna(flax_path, tk_conv, tk_bn):
+        _set(params, flax_path + ("conv", "kernel"), _conv_w(sd[tk_conv + ".weight"]))
+        _map_bn(params, stats, flax_path + ("bn",), sd, tk_bn)
+
+    cna(("features_0",), f"{pf}features.0.0", f"{pf}features.0.1")
+    in_ch = 16
+    for i, (k, exp, out, use_se, act, stride) in enumerate(spec):
+        idx = i + 1
+        base = f"{pf}features.{idx}.block"
+        path = (f"features_{idx}",)
+        j = 0
+        if exp != in_ch:
+            cna(path + ("expand",), f"{base}.{j}.0", f"{base}.{j}.1")
+            j += 1
+        cna(path + ("depthwise",), f"{base}.{j}.0", f"{base}.{j}.1")
+        j += 1
+        if use_se:
+            _map_conv(params, path + ("se", "fc1"), sd, f"{base}.{j}.fc1")
+            _map_conv(params, path + ("se", "fc2"), sd, f"{base}.{j}.fc2")
+            j += 1
+        _set(params, path + ("project_conv", "kernel"),
+             _conv_w(sd[f"{base}.{j}.0.weight"]))
+        _map_bn(params, stats, path + ("project_bn",), sd, f"{base}.{j}.1")
+        in_ch = out
+    last_idx = len(spec) + 1
+    cna((f"features_{last_idx}",), f"{pf}features.{last_idx}.0",
+        f"{pf}features.{last_idx}.1")
+    return {"params": params, "batch_stats": stats}

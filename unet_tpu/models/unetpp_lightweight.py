@@ -89,12 +89,25 @@ class LightweightNestedUNet(nn.Module):
             raise NotImplementedError(f"{self.encoder} encoder pending")
         x0_0, x1_0, x2_0, x3_0, x4_0 = feats
 
-        up = lambda t: upsample2x_align_corners(t, t.ndim - 3, t.ndim - 2)
+        def up_to(t, skip):
+            # Upsample to the skip's spatial size. For the usual stride
+            # pattern this is exactly the reference's x2 align-corners
+            # upsample; for encoders with equal-resolution adjacent stages
+            # (mobilenet_v3: stages 3/4 both stride 16) the reference's blind
+            # x2 made the concat spatially inconsistent (the torch model
+            # cannot run) — matching the skip's size repairs that.
+            hw = skip.shape[-3:-1]
+            if t.shape[-3:-1] == hw:
+                return t
+            if (hw[0] == 2 * t.shape[-3]) and (hw[1] == 2 * t.shape[-2]):
+                return upsample2x_align_corners(t, t.ndim - 3, t.ndim - 2)
+            return resize_bilinear_align_corners(t, hw, t.ndim - 3, t.ndim - 2)
+
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-        x3_1 = ConvBlock(dec[3], self.dtype, name="conv3_1")(cat(x3_0, up(x4_0)), train)
-        x2_2 = ConvBlock(dec[2], self.dtype, name="conv2_2")(cat(x2_0, up(x3_1)), train)
-        x1_3 = ConvBlock(dec[1], self.dtype, name="conv1_3")(cat(x1_0, up(x2_2)), train)
-        x0_4 = ConvBlock(dec[0], self.dtype, name="conv0_4")(cat(x0_0, up(x1_3)), train)
+        x3_1 = ConvBlock(dec[3], self.dtype, name="conv3_1")(cat(x3_0, up_to(x4_0, x3_0)), train)
+        x2_2 = ConvBlock(dec[2], self.dtype, name="conv2_2")(cat(x2_0, up_to(x3_1, x2_0)), train)
+        x1_3 = ConvBlock(dec[1], self.dtype, name="conv1_3")(cat(x1_0, up_to(x2_2, x1_0)), train)
+        x0_4 = ConvBlock(dec[0], self.dtype, name="conv0_4")(cat(x0_0, up_to(x1_3, x0_0)), train)
         out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="final")(x0_4)
 
         if self.deep_supervision and train:
