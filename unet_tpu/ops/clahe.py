@@ -39,13 +39,13 @@ def _clahe_single(img: jnp.ndarray, tiles_y: int, tiles_x: int, clip_limit: floa
     tile_area = th * tw
     n_tiles = tiles_y * tiles_x
 
-    # --- per-tile histograms (one scatter-add over the padded image)
-    rr = jnp.arange(ph, dtype=jnp.int32) // th
-    cc = jnp.arange(pw, dtype=jnp.int32) // tw
-    tile_id = rr[:, None] * tiles_x + cc[None, :]
-    flat_bin = (tile_id * _BINS + x).reshape(-1)
-    hist = jnp.zeros(n_tiles * _BINS, jnp.int32).at[flat_bin].add(1)
-    hist = hist.reshape(n_tiles, _BINS)
+    # --- per-tile histograms, scatter-free: reshape into tiles and count by
+    # one-hot comparison (TPU scatter is ~1000x slower than dense VPU compares)
+    tiles = x.reshape(tiles_y, th, tiles_x, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(n_tiles, tile_area)
+    bins = jnp.arange(_BINS, dtype=jnp.int32)
+    hist = jnp.sum(tiles[:, :, None] == bins[None, None, :], axis=1,
+                   dtype=jnp.int32)                                  # (T, 256)
 
     # --- clip + redistribute (cv2 integer semantics)
     clip = max(int(clip_limit * tile_area / _BINS), 1)
