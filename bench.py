@@ -1,16 +1,15 @@
-"""Benchmark: 800x448 full two-stage pipeline throughput on one TPU chip.
+"""Benchmarks for the BASELINE.json configs on one TPU chip.
 
-Measures the BASELINE.json headline config — segmentation (UNet++ 3-class
-@512, bf16) + on-device burr detection + per-frame stats — end to end
-including the host->device uint8 frame upload and the device->host stats
-download, i.e. the same observable work as the reference's 14.59 FPS loop
-(reference README.md:17, infer_two_stage_burr.py:269-355) minus host-side
-video decode/JPEG-encode.
+Default (no args) = config 2, the headline: 800x448 full two-stage pipeline
+throughput vs the reference's 14.59 FPS (README.md:17), measured end to end
+including the host->device uint8 frame upload and device->host stats
+download. `--config {1..5}` selects the other BASELINE configs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -20,60 +19,107 @@ BASELINE_FPS = 14.59  # reference README.md:17
 FRAME_W, FRAME_H = 800, 448
 
 
-def _synthetic_frames(rng, batch):
+def _synthetic_frames(rng, batch, h=FRAME_H, w=FRAME_W):
     """Cable-scene-shaped frames (vertical cable strip + tape band over a
     smooth noisy background) matching the reference video's content class —
     pure-noise frames would make the edge/hysteresis stages artificially
     pathological."""
-    bgr = rng.uniform(40, 70, (batch, FRAME_H, FRAME_W, 3))
-    bgr[:, :, 340:400] = (175.0, 180.0, 180.0)
-    bgr[:, 150:320, 332:408] = (60.0, 90.0, 200.0)
+    bgr = rng.uniform(40, 70, (batch, h, w, 3))
+    x0 = int(w * 0.425)
+    bgr[:, :, x0:x0 + 60] = (175.0, 180.0, 180.0)
+    bgr[:, h // 3:2 * h // 3, x0 - 8:x0 + 68] = (60.0, 90.0, 200.0)
     bgr += rng.normal(0, 4, bgr.shape)
     return np.clip(bgr, 0, 255).astype(np.uint8)
 
 
-def main() -> None:
+def _throughput(step, variables, frames_host, batch, n_frames=128):
+    import jax.numpy as jnp
+    out = step(variables, jnp.asarray(frames_host))
+    _ = np.asarray(out.cable_px)  # real sync (block_until_ready unreliable here)
+    n_iters = max(int(round(n_frames / batch)), 4)
+    t0 = time.perf_counter()
+    outs = [step(variables, jnp.asarray(frames_host)) for _ in range(n_iters)]
+    for o in outs:
+        _ = np.asarray(o.cable_px), np.asarray(o.tape_px), np.asarray(o.burr_px)
+    return batch * n_iters / (time.perf_counter() - t0)
+
+
+def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32),
+                    frame_hw=(FRAME_H, FRAME_W)):
     import jax
     import jax.numpy as jnp
 
     from unet_tpu.models import NestedUNet
-    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg, ROI, stages
+    from unet_tpu.pipeline import get_preset, stages
 
-    model = NestedUNet(num_classes=3, deep_supervision=True, dtype=jnp.bfloat16)
+    cfg = get_preset(cfg_name, **preset_kwargs)
+    model = NestedUNet(num_classes=cfg.segment.num_classes,
+                       deep_supervision=True, dtype=jnp.bfloat16)
+    w, h = cfg.preprocess.model_size
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+                           train=False)
+    step = stages.build_step(model, cfg)
+    rng = np.random.default_rng(0)
+    best = (0.0, 0)
+    for batch in batches:
+        frames = _synthetic_frames(rng, batch, h=frame_hw[0], w=frame_hw[1])
+        fps = _throughput(step, variables, frames, batch)
+        if fps > best[0]:
+            best = (fps, batch)
+    return best
+
+
+def config1():
+    """Single 512x512 3-class forward on CPU (reference infer_video_simple
+    path, BASELINE config 1)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from unet_tpu.models import NestedUNet
+    model = NestedUNet(num_classes=3, deep_supervision=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)),
                            train=False)
-    cfg = PipelineCfg(name="two_stage", roi=ROI(140, 0, 270, 512),
-                      preprocess=PreprocessCfg(model_size=(512, 512)))
-    step = stages.build_step(model, cfg)
+    fwd = jax.jit(lambda v, x: jnp.argmax(model.apply(v, x, train=False), -1))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 512, 512, 3), np.float32))
+    _ = np.asarray(fwd(variables, x))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(fwd(variables, x))
+    dt = (time.perf_counter() - t0) / 3
+    return {"metric": "single_512_forward_cpu", "value": round(1 / dt, 3),
+            "unit": "frames/sec", "vs_baseline": None}
 
-    rng = np.random.default_rng(0)
-    best_fps, best_batch = 0.0, 1
-    for batch in (8, 16, 32):
-        frames_host = _synthetic_frames(rng, batch)
-        # compile + warmup (sync via a real D->H read; block_until_ready is
-        # unreliable through the device tunnel)
-        out = step(variables, jnp.asarray(frames_host))
-        _ = np.asarray(out.cable_px)
 
-        n_iters = max(int(round(128 / batch)), 4)
-        t0 = time.perf_counter()
-        outs = []
-        for _ in range(n_iters):
-            o = step(variables, jnp.asarray(frames_host))  # includes H->D upload
-            outs.append(o)  # async dispatch: keep the pipe full
-        # D->H download of every batch's per-frame verdict stats
-        for o in outs:
-            _ = np.asarray(o.cable_px), np.asarray(o.tape_px), np.asarray(o.burr_px)
-        dt = time.perf_counter() - t0
-        fps = batch * n_iters / dt
-        if fps > best_fps:
-            best_fps, best_batch = fps, batch
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5])
+    args = ap.parse_args()
+
+    if args.config == 1:
+        print(json.dumps(config1()))
+        return
+    if args.config == 2:
+        fps, batch = _pipeline_bench("two_stage", {})
+        name = f"two_stage_800x448_fps_per_chip(batch={batch})"
+    elif args.config == 3:
+        fps, batch = _pipeline_bench("enhanced", {"enhance": True})
+        name = f"enhanced_clahe_denoise_fps(batch={batch})"
+    elif args.config == 4:
+        # 2448x2048 source rotated 90 CCW + normalized to 800x448 on device
+        # (reference infer_high_res_custom_roi.py)
+        fps, batch = _pipeline_bench("high_res_roi", {}, batches=(2, 4, 8),
+                                     frame_hw=(2448, 2048))
+        name = f"high_res_2448x2048_fps(batch={batch})"
+    else:  # 5: 7-class wrap-uniformity, batched multi-stream (batch >= 8)
+        fps, batch = _pipeline_bench("wrap_7class", {}, batches=(8, 16, 32))
+        name = f"wrap_7class_multistream_fps(batch={batch})"
 
     print(json.dumps({
-        "metric": f"two_stage_800x448_fps_per_chip(batch={best_batch})",
-        "value": round(best_fps, 2),
+        "metric": name,
+        "value": round(fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(best_fps / BASELINE_FPS, 2),
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
     }))
 
 

@@ -1,0 +1,91 @@
+"""Config round-trip/migration + multi-stream serving tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pipeline_yaml_roundtrip(tmp_path):
+    from unet_tpu.core.config import load_pipeline_yaml, save_pipeline_yaml
+    from unet_tpu.pipeline import get_preset
+    cfg = get_preset("enhanced")
+    p = str(tmp_path / "cfg.yaml")
+    save_pipeline_yaml(cfg, p)
+    back = load_pipeline_yaml(p)
+    assert back == cfg  # frozen dataclasses compare by value
+
+
+def test_migrate_app_cfg(tmp_path):
+    import yaml
+    from unet_tpu.core.config import load_pipeline_yaml
+    app = {
+        "camera": {"type": "gige", "cti_path": "", "serial": "", "width": 800,
+                   "height": 448, "pixel_format": "BayerRG8", "exposure_us": 100,
+                   "gain_db": 1.0, "fps_limit": 25.0,
+                   "roi": {"enabled": True, "x": 200, "y": 0, "w": 400, "h": 448}},
+        "model": {"input_size": [512, 512], "num_classes": 3,
+                  "encoder": "custom", "weights": "w.pth"},
+        "scale": {"mm_per_px": 0.07, "cable_diameter_mm": 10.0},
+        "thresholds": {"wrap_delta_max_mm": 8, "wrap_delta_min_mm": 2,
+                       "bulge_mm": 4, "cv_wrap": 0.12, "defect_area_px": 800},
+        "event": {"out_dir": "ev", "save_overlay": True,
+                  "mqtt": {"enabled": False, "host": "", "port": 1883, "topic": "t"}},
+        "device": {"use_gpu": True, "fp16": True},
+    }
+    p = tmp_path / "app.yaml"
+    p.write_text(yaml.safe_dump(app))
+    cfg = load_pipeline_yaml(str(p))
+    assert cfg.segment.num_classes == 3
+    assert cfg.geometry.mm_per_px == pytest.approx(0.07)
+    assert cfg.roi is not None and (cfg.roi.x1, cfg.roi.x2) == (200, 600)
+
+
+def test_migrate_refactor_cfg(tmp_path):
+    import yaml
+    from unet_tpu.core.config import load_pipeline_yaml
+    ref = {
+        "roi": {"mode": "fixed", "x": 100, "y": 0, "w": 400, "h": 480},
+        "preprocess": {"enable_grayscale_enhance": True},
+        "postprocess": {"cable_min_area": 1234, "tape_ring_dilate": 21},
+        "event": {"ratio_min": 1.1},
+        "burr": {"band_out": 12, "laplacian_threshold": 33, "min_area": 25,
+                 "max_area": 444},
+    }
+    p = tmp_path / "refactor.yaml"
+    p.write_text(yaml.safe_dump(ref))
+    cfg = load_pipeline_yaml(str(p))
+    assert cfg.burr.method == "laplacian"
+    assert cfg.burr.band_px == 12 and cfg.burr.max_area == 444
+    assert cfg.postprocess.enabled and cfg.postprocess.cable_min_area == 1234
+
+
+def test_multistream_server():
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg
+    from unet_tpu.serve import MultiStreamServer
+
+    class FakeSource:
+        def __init__(self, sid, n):
+            self.sid, self.n = sid, n
+
+        def frames(self):
+            rng = np.random.default_rng(self.sid)
+            for i in range(self.n):
+                yield i + 1, (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(32, 32)))
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    server = MultiStreamServer(model, variables, cfg)
+    results = []
+    summary = server.serve([FakeSource(0, 5), FakeSource(1, 3),
+                            FakeSource(2, 4)], results.append)
+    assert summary["frames"] == 12
+    by_stream = {}
+    for r in results:
+        by_stream.setdefault(r.stream_id, []).append(r.frame_id)
+    assert by_stream[0] == [1, 2, 3, 4, 5]
+    assert by_stream[1] == [1, 2, 3]
+    assert by_stream[2] == [1, 2, 3, 4]
