@@ -63,3 +63,32 @@ def test_lightweight_unet_forward(encoder):
     assert all(o.shape[1:3] == (64, 64) for o in outs[1:])
     if encoder == "custom":
         assert outs[0].shape[1:3] == (64, 64)
+
+
+def test_channel_shuffle_matches_torch():
+    from unet_tpu.models.shufflenet import channel_shuffle
+    x = np.arange(2 * 3 * 3 * 8, dtype=np.float32).reshape(2, 3, 3, 8)
+    got = np.asarray(channel_shuffle(jnp.asarray(x), 2))
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW
+    b, c, h, w = t.shape
+    want = t.view(b, 2, c // 2, h, w).transpose(1, 2).reshape(b, c, h, w)
+    assert np.array_equal(got, want.numpy().transpose(0, 2, 3, 1))
+
+
+def test_shufflenet_encoder_shapes():
+    from unet_tpu.models.shufflenet import ShuffleNetV2Encoder
+    enc = ShuffleNetV2Encoder()
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+    feats = enc.apply(variables, x, train=False)
+    assert [tuple(f.shape[1:]) for f in feats] == [
+        (32, 32, 24), (16, 16, 116), (8, 8, 232), (4, 4, 464), (2, 2, 464)]
+
+
+def test_lightweight_shufflenet_forward():
+    from unet_tpu.models import LightweightNestedUNet
+    model = LightweightNestedUNet(num_classes=3, encoder="shufflenet_v2_x1_0")
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    out = model.apply(variables, x, train=False)
+    assert out.shape[-1] == 3

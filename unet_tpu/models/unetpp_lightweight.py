@@ -5,8 +5,8 @@ tables, auto-selected decoder widths, [skip, up] concat, deep-supervision
 heads gated on training — with the torch backbones re-expressed as Flax
 modules (models.resnet / models.mobilenet).
 
-Supported encoders this build: custom, resnet18, resnet34,
-mobilenet_v3_small, mobilenet_v3_large (shufflenet_v2_x1_0 pending).
+Supported encoders: custom, resnet18, resnet34, mobilenet_v3_small,
+mobilenet_v3_large, shufflenet_v2_x1_0.
 """
 from __future__ import annotations
 
@@ -85,6 +85,9 @@ class LightweightNestedUNet(nn.Module):
             from unet_tpu.models.mobilenet import MobileNetV3Encoder
             feats = MobileNetV3Encoder(variant=self.encoder.replace("mobilenet_v3_", ""),
                                        dtype=self.dtype, name="encoder")(x, train)
+        elif self.encoder == "shufflenet_v2_x1_0":
+            from unet_tpu.models.shufflenet import ShuffleNetV2Encoder
+            feats = ShuffleNetV2Encoder(dtype=self.dtype, name="encoder")(x, train)
         else:
             raise NotImplementedError(f"{self.encoder} encoder pending")
         x0_0, x1_0, x2_0, x3_0, x4_0 = feats
