@@ -91,3 +91,43 @@ def test_checkpoint_container_unwrap(tmp_path):
 def test_infer_num_classes():
     tm = TNestedUNet(num_classes=5)
     assert convert.infer_num_classes(_to_numpy_sd(tm)) == 5
+
+
+def test_nested_unet_resnet50_encoder_parity():
+    """The reference's resnet50-encoder NestedUNet cannot actually run in
+    torch (its stem folds the maxpool so stage0/stage1 share stride 4 and the
+    last decoder concat mismatches, reference unetpp.py:56-63 + :116) — so
+    parity is asserted at the encoder-stage level, and the repaired Flax
+    decoder is checked to run end to end."""
+    from tests.torch_ref import TNestedUNetResNet50
+    from unet_tpu.models.resnet import ResNet50Encoder
+    gen = torch.Generator().manual_seed(3)
+    tm = TNestedUNetResNet50(num_classes=3).eval()
+    _randomize_bn_stats(tm, gen)
+    x = torch.randn(1, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        t0 = tm.conv0_0(x)
+        t1 = tm.conv1_0(t0)
+        t2 = tm.conv2_0(t1)
+        t3 = tm.conv3_0(t2)
+        t4 = tm.conv4_0(t3)
+    wants = [t.numpy() for t in (t0, t1, t2, t3, t4)]
+
+    sd = _to_numpy_sd(tm)
+    assert convert.detect_model_kind(sd) == "nested_unet_resnet50"
+    variables = convert.convert_state_dict(sd)
+    enc = ResNet50Encoder()
+    enc_vars = {"params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"]}
+    feats = enc.apply(enc_vars, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                      train=False)
+    for f, want in zip(feats, wants):
+        np.testing.assert_allclose(np.asarray(f).transpose(0, 3, 1, 2), want,
+                                   atol=2e-3, rtol=1e-3)
+
+    # full forward through the repaired decoder runs and is finite
+    fm = NestedUNet(num_classes=3, deep_supervision=False, pretrained_encoder=True)
+    out = fm.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                   train=False)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()

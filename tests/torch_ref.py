@@ -157,3 +157,70 @@ class TMobileNetV3Features(nn.Module):
 
     def forward(self, x):
         return self.features(x)
+
+
+class TBottleneck(nn.Module):
+    """torchvision Bottleneck key layout (conv1/bn1/conv2/bn2/conv3/bn3,
+    downsample.0/1)."""
+
+    def __init__(self, cin, width, stride=1, project=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width * 4)
+        self.downsample = None
+        if project:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, width * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(width * 4))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        return F.relu(self.bn3(self.conv3(y)) + r)
+
+
+class TNestedUNetResNet50(nn.Module):
+    """Reference NestedUNet with the resnet50 pretrained-encoder wiring and
+    its state-dict key layout (conv0_0 = Sequential(conv1,bn1,relu,maxpool),
+    conv1_0..conv4_0 = layer1..4; reference src/models/unetpp.py:56-91)."""
+
+    def __init__(self, num_classes=3):
+        super().__init__()
+        self.conv0_0 = nn.Sequential(
+            nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU(), nn.MaxPool2d(3, 2, 1))
+
+        def layer(cin, width, blocks, stride):
+            mods = [TBottleneck(cin, width, stride, project=True)]
+            mods += [TBottleneck(width * 4, width) for _ in range(blocks - 1)]
+            return nn.Sequential(*mods)
+
+        self.conv1_0 = layer(64, 64, 3, 1)
+        self.conv2_0 = layer(256, 128, 4, 2)
+        self.conv3_0 = layer(512, 256, 6, 2)
+        self.conv4_0 = layer(1024, 512, 3, 2)
+        ch = [64, 256, 512, 1024, 2048]
+        self.conv3_1 = TConvBlock(ch[3] + ch[4], ch[3])
+        self.conv2_2 = TConvBlock(ch[2] + ch[3], ch[2])
+        self.conv1_3 = TConvBlock(ch[1] + ch[2], ch[1])
+        self.conv0_4 = TConvBlock(ch[0] + ch[1], ch[0])
+        self.final = nn.Conv2d(ch[0], num_classes, 1)
+
+    def forward(self, x):
+        up = lambda t: F.interpolate(t, scale_factor=2, mode="bilinear",
+                                     align_corners=True)
+        x0_0 = self.conv0_0(x)
+        x1_0 = self.conv1_0(x0_0)
+        x2_0 = self.conv2_0(x1_0)
+        x3_0 = self.conv3_0(x2_0)
+        x4_0 = self.conv4_0(x3_0)
+        x3_1 = self.conv3_1(torch.cat([x3_0, up(x4_0)], 1))
+        x2_2 = self.conv2_2(torch.cat([x2_0, up(x3_1)], 1))
+        x1_3 = self.conv1_3(torch.cat([x1_0, up(x2_2)], 1))
+        x0_4 = self.conv0_4(torch.cat([x0_0, up(x1_3)], 1))
+        return self.final(x0_4)

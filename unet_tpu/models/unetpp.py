@@ -59,10 +59,21 @@ class NestedUNet(nn.Module):
             x4_0 = ConvBlock(ch[4], self.dtype, name="conv4_0")(max_pool2(x3_0), train)
 
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)  # [skip, up] order
-        x3_1 = ConvBlock(ch[3], self.dtype, name="conv3_1")(cat(x3_0, _up2(x4_0)), train)
-        x2_2 = ConvBlock(ch[2], self.dtype, name="conv2_2")(cat(x2_0, _up2(x3_1)), train)
-        x1_3 = ConvBlock(ch[1], self.dtype, name="conv1_3")(cat(x1_0, _up2(x2_2)), train)
-        x0_4 = ConvBlock(ch[0], self.dtype, name="conv0_4")(cat(x0_0, _up2(x1_3)), train)
+
+        def up_to(t, skip):
+            # x2 align-corners upsample for the standard stride ladder; the
+            # resnet50 encoder's stage0/stage1 share stride 4 (the stem folds
+            # the maxpool, reference unetpp.py:60-63), where the reference's
+            # blind x2 made the final concat unbuildable in torch — matching
+            # the skip's size repairs that while staying exactly x2 elsewhere.
+            if t.shape[-3:-1] == skip.shape[-3:-1]:
+                return t
+            return _up2(t)
+
+        x3_1 = ConvBlock(ch[3], self.dtype, name="conv3_1")(cat(x3_0, up_to(x4_0, x3_0)), train)
+        x2_2 = ConvBlock(ch[2], self.dtype, name="conv2_2")(cat(x2_0, up_to(x3_1, x2_0)), train)
+        x1_3 = ConvBlock(ch[1], self.dtype, name="conv1_3")(cat(x1_0, up_to(x2_2, x1_0)), train)
+        x0_4 = ConvBlock(ch[0], self.dtype, name="conv0_4")(cat(x0_0, up_to(x1_3, x0_0)), train)
 
         out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="final")(x0_4)
 
