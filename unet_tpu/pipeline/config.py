@@ -46,6 +46,8 @@ class PreprocessCfg:
     denoise: str = "bilateral"                        # "nlm" | "bilateral" | "none"
     model_size: Tuple[int, int] = (512, 512)          # (w, h) fed to the model
     normalization: str = "unit"                       # "unit" (/255) | "imagenet"
+    letterbox: bool = False   # aspect-preserving pad instead of stretch
+                              # (reference infer_video_robust.py:40-61)
 
 
 @dataclass(frozen=True)
@@ -100,6 +102,8 @@ class PostprocessCfg:
     tape_ring_dilate: int = 25
     tape_ring_erode: int = 5
     morph_cleanup_ksize: int = 0
+    cable_bbox_pad: int = 0   # >0: zero tape outside cable bbox + pad
+                              # (reference infer_video_robust.py:201-216)
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,10 @@ from unet_tpu.pipeline.visualize import draw_hud, two_stage_overlay
 class EngineConfig:
     batch: int = 8
     frame_stride: int = 1
+    # turn-rate-based sampling: stride = fps / (turn_hz * eval_per_turn)
+    # (reference infer_video.py:333); overrides frame_stride when set
+    turn_hz: Optional[float] = None
+    eval_per_turn: int = 4
     print_interval: int = 60
     write_video: bool = True
     output_dir: str = "./output"
@@ -136,11 +140,17 @@ class InferenceEngine:
 
     def process_video(self, video_path: str, max_frames: Optional[int] = None
                       ) -> Dict[str, Any]:
-        src_cls = ImageDirReader if Path(video_path).is_dir() else VideoReader
-        if src_cls is VideoReader:
-            source = VideoReader(video_path, self.ecfg.frame_stride, max_frames)
-        else:
+        if Path(video_path).is_dir():
             source = ImageDirReader(video_path, max_frames)
+        else:
+            stride = self.ecfg.frame_stride
+            if self.ecfg.turn_hz:
+                probe = VideoReader(video_path)
+                fps_in = probe.meta.fps
+                probe.cap.release()
+                stride = max(1, int(round(
+                    fps_in / (self.ecfg.turn_hz * self.ecfg.eval_per_turn))))
+            source = VideoReader(video_path, stride, max_frames)
         out_dir = Path(self.ecfg.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -95,11 +95,13 @@ def robust() -> PipelineCfg:
     exclusive thresholds, shape-scored cable CC, tape ring."""
     return PipelineCfg(
         name="robust",
+        preprocess=PreprocessCfg(letterbox=True),
         segment=SegmentCfg(num_classes=3, threshold_mode="exclusive",
                            class_thresholds=(0.0, 0.5, 0.5),
                            bg_margin=0.05, ct_margin=0.05),
         burr=BurrCfg(method="none"),
-        postprocess=PostprocessCfg(enabled=True),
+        postprocess=PostprocessCfg(enabled=True, cable_bbox_pad=80,
+                                   morph_cleanup_ksize=3),
         geometry=GeometryCfg(enabled=True),
     )
 

@@ -87,10 +87,14 @@ def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
 
 def model_input(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     """BGR float frames -> normalized RGB tensor at model resolution
-    (reference preprocess_image, infer_two_stage_burr.py:122-127)."""
+    (reference preprocess_image, infer_two_stage_burr.py:122-127; letterbox
+    variant infer_video_robust.py:40-61)."""
     w, h = cfg.preprocess.model_size
     rgb = _color.bgr2rgb(frames_bgr)
-    x = _image.resize_bilinear(rgb, (h, w))
+    if cfg.preprocess.letterbox:
+        x = _image.letterbox(rgb, (h, w))
+    else:
+        x = _image.resize_bilinear(rgb, (h, w))
     if cfg.preprocess.normalization == "imagenet":
         return (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     return x / 255.0
@@ -270,6 +274,26 @@ def filter_cable_by_shape(cable: jnp.ndarray, p: PostprocessCfg, roi_width: int)
     return _cc.keep_mask(labels, stats, keep)
 
 
+def cable_bbox_limit(mask: jnp.ndarray, cable: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Zero `mask` outside the cable bounding box + pad; all-zero when no
+    cable (reference apply_roi_limit, infer_video_robust.py:201-216).
+    Fixed-shape: per-frame bbox via argmax reductions + iota comparisons."""
+    H, W = mask.shape[-2:]
+    rows_any = jnp.any(cable, axis=-1)
+    cols_any = jnp.any(cable, axis=-2)
+    r0 = jnp.argmax(rows_any, axis=-1) - pad
+    r1 = H - 1 - jnp.argmax(jnp.flip(rows_any, -1), axis=-1) + pad
+    c0 = jnp.argmax(cols_any, axis=-1) - pad
+    c1 = W - 1 - jnp.argmax(jnp.flip(cols_any, -1), axis=-1) + pad
+    ri = jnp.arange(H)
+    ci = jnp.arange(W)
+    row_ok = jnp.logical_and(ri >= r0[..., None], ri <= r1[..., None])
+    col_ok = jnp.logical_and(ci >= c0[..., None], ci <= c1[..., None])
+    box = jnp.logical_and(row_ok[..., :, None], col_ok[..., None, :])
+    has_cable = jnp.any(cable, axis=(-2, -1))[..., None, None]
+    return jnp.logical_and(mask, jnp.logical_and(box, has_cable))
+
+
 def constrain_tape_to_ring(tape: jnp.ndarray, cable: jnp.ndarray,
                            p: PostprocessCfg) -> jnp.ndarray:
     """Tape limited to the dilate-erode ring around cable, largest CC kept
@@ -298,14 +322,22 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
         logits = logits[0]
     cable_m, tape_m = extract_masks(logits, cfg)
 
-    # nearest-resize masks back to frame resolution (infer_two_stage_burr.py:307-308)
-    cable = _image.resize_nearest(cable_m, (H, W), channel_dim=False)
-    tape = _image.resize_nearest(tape_m, (H, W), channel_dim=False)
+    # masks back to frame resolution (infer_two_stage_burr.py:307-308; the
+    # letterbox path crops the content region first, robust.py:52-61)
+    if cfg.preprocess.letterbox:
+        cable = _image.unletterbox_mask(cable_m, (H, W),
+                                        cable_m.shape[-2:])
+        tape = _image.unletterbox_mask(tape_m, (H, W), tape_m.shape[-2:])
+    else:
+        cable = _image.resize_nearest(cable_m, (H, W), channel_dim=False)
+        tape = _image.resize_nearest(tape_m, (H, W), channel_dim=False)
 
     if cfg.postprocess.enabled:
         roi_w = W if cfg.roi is None else (cfg.roi.scaled((W, H)).x2 - cfg.roi.scaled((W, H)).x1)
         cable = filter_cable_by_shape(cable, cfg.postprocess, roi_w)
         tape = constrain_tape_to_ring(tape, cable, cfg.postprocess)
+        if cfg.postprocess.cable_bbox_pad > 0:
+            tape = cable_bbox_limit(tape, cable, cfg.postprocess.cable_bbox_pad)
         if cfg.postprocess.morph_cleanup_ksize:
             se = _morph.ellipse_kernel(cfg.postprocess.morph_cleanup_ksize)
             cable = _morph.close_(_morph.open_(cable, se), se)
