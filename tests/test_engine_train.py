@@ -136,3 +136,23 @@ def test_checkpoint_roundtrip(tmp_path):
     variables, info = load_model_variables(str(vp))
     assert info["num_classes"] == 3
     assert "params" in variables
+
+
+def test_worst_sample_tracking(synth_dataset, tmp_path):
+    import json
+
+    from unet_tpu.data.loader import Loader
+    from unet_tpu.models import SimpleUNet
+    from unet_tpu.train import LossCfg, OptimCfg, TrainRunCfg, train_model
+
+    loader = Loader(synth_dataset, batch_size=2, shuffle=True, prefetch=0,
+                    seed=0, with_indices=True)
+    val = Loader(synth_dataset, batch_size=2, prefetch=0)
+    cfg = TrainRunCfg(epochs=1, num_classes=2, image_size=32, target_miou=None,
+                      ckpt_dir=str(tmp_path), save_every_epochs=100,
+                      track_worst_samples=3, loss=LossCfg(kind="ce"),
+                      optim=OptimCfg(lr=1e-3, schedule="constant", total_steps=10))
+    train_model(SimpleUNet(num_classes=2), loader, val, cfg)
+    worst = json.loads((tmp_path / "worst_samples.json").read_text())
+    assert worst["epoch"] == 0 and len(worst["worst"]) == 3
+    assert all(isinstance(w[0], float) and w[0] >= 0 for w in worst["worst"])

@@ -200,6 +200,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--resume", default=None)
     pt.add_argument("--seed", type=int, default=42)
     pt.add_argument("--n-devices", type=int, default=None)
+    pt.add_argument("--encoder", default="mobilenet_v3_small")
     pt.set_defaults(fn=cmd_train)
 
     ps = sub.add_parser("inspect", help="yaml-config inspection serve")

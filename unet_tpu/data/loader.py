@@ -18,7 +18,7 @@ import numpy as np
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  weights: Optional[np.ndarray] = None, drop_last: bool = False,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2, with_indices: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -26,6 +26,7 @@ class Loader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.with_indices = with_indices
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -48,7 +49,10 @@ class Loader:
             if self.drop_last and len(chunk) < self.batch_size:
                 return
             imgs, masks = zip(*(self.dataset[int(i)] for i in chunk))
-            yield np.stack(imgs), np.stack(masks)
+            if self.with_indices:
+                yield chunk.copy(), np.stack(imgs), np.stack(masks)
+            else:
+                yield np.stack(imgs), np.stack(masks)
 
     def __iter__(self):
         if self.prefetch <= 0:

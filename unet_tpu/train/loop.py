@@ -16,7 +16,8 @@ import numpy as np
 from unet_tpu import parallel
 from unet_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
 from unet_tpu.ops.seg_metrics import metrics_from_confusion, print_metrics
-from unet_tpu.train.monitor import EarlyStopping, TrainingMonitor
+from unet_tpu.train.monitor import (EarlyStopping, SampleLossTracker,
+                                    TrainingMonitor)
 from unet_tpu.train.trainer import (LossCfg, OptimCfg, create_train_state,
                                     make_eval_step, make_train_step)
 
@@ -32,6 +33,8 @@ class TrainRunCfg:
     save_every_epochs: int = 25             # periodic ckpts (:391-398)
     seed: int = 42
     n_spatial: int = 1
+    track_worst_samples: int = 0            # top-K worst-loss samples per epoch
+                                            # (train_with_monitoring.py:96-117)
     loss: LossCfg = field(default_factory=LossCfg)
     optim: OptimCfg = field(default_factory=OptimCfg)
 
@@ -66,21 +69,37 @@ def train_model(model, train_loader, val_loader, cfg: TrainRunCfg,
         best_miou = float(meta.get("best_miou", 0.0))
         print(f"resumed from {resume} at epoch {start_epoch} (best {best_miou:.4f})")
 
-    train_step = parallel.shard_train_step(make_train_step(cfg.loss), mesh, spatial)
+    track = cfg.track_worst_samples > 0
+    train_step = parallel.shard_train_step(
+        make_train_step(cfg.loss, track_sample_loss=track), mesh, spatial)
     eval_step = parallel.shard_eval_step(make_eval_step(cfg.num_classes), mesh, spatial)
     monitor = TrainingMonitor(cfg.ckpt_dir)
     stopper = EarlyStopping(cfg.early_stop_patience)
-    sched = None
+    tracker = SampleLossTracker(cfg.track_worst_samples) if track else None
+    sample_names = getattr(getattr(train_loader, "dataset", None),
+                           "image_files", None)
 
     epochs_run = 0
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses, gnorms = [], []
-        for images, labels in train_loader:
+        if tracker:
+            tracker.reset()
+        for batch in train_loader:
+            idx = None
+            if len(batch) == 3:
+                idx, images, labels = batch
+            else:
+                images, labels = batch
             im, lb = parallel.put_batch(mesh, images, labels, spatial)
             state, metrics = train_step(state, im, lb)
             losses.append(metrics["loss"])
             gnorms.append(metrics["grad_norm"])
+            if tracker is not None and "sample_loss" in metrics and idx is not None:
+                for i, l in zip(idx, np.asarray(metrics["sample_loss"])):
+                    name = (sample_names[int(i)] if sample_names is not None
+                            else f"sample_{int(i)}")
+                    tracker.record(float(l), name)
         train_loss = float(np.mean([float(np.asarray(l)) for l in losses])) if losses else 0.0
         gnorm = float(np.asarray(gnorms[-1])) if gnorms else 0.0
 
@@ -91,6 +110,11 @@ def train_model(model, train_loader, val_loader, cfg: TrainRunCfg,
         miou, precision, recall, ious = metrics_from_confusion(cm)
 
         monitor.log_epoch(epoch, train_loss, miou, 0.0, gnorm)
+        if tracker is not None and tracker.samples:
+            import json as _json
+            from pathlib import Path as _Path
+            (_Path(cfg.ckpt_dir) / "worst_samples.json").write_text(
+                _json.dumps({"epoch": epoch, "worst": tracker.worst()}, indent=2))
         dt = time.time() - t0
         print(f"epoch {epoch + 1}/{cfg.epochs}: loss {train_loss:.4f} "
               f"mIoU {miou:.4f} ({dt:.1f}s)")

@@ -163,3 +163,92 @@ def run_recipe(args) -> int:
         raise SystemExit(f"unknown recipe {args.recipe!r}; "
                          f"available: {sorted(RECIPES)}")
     return RECIPES[args.recipe](args)
+
+
+def recipe_with_monitoring(args):
+    """Monitored trainer: loss-spike alarms + top-K worst-sample tracking
+    (reference tools/train_with_monitoring.py)."""
+    import jax
+
+    from unet_tpu.data.loader import Loader
+    from unet_tpu.models import NestedUNet
+
+    cfg = TrainRunCfg(
+        epochs=args.epochs or 100, num_classes=3, image_size=args.image_size or 512,
+        target_miou=None, ckpt_dir=args.output, seed=args.seed,
+        track_worst_samples=10,
+        loss=LossCfg(kind="combined"),
+        optim=OptimCfg(lr=1e-4, schedule="cosine", total_steps=0))
+    train_ds, val_ds = _datasets(args, cfg.image_size, advanced=False,
+                                 three_class=True)
+    train_loader = Loader(train_ds, args.batch, shuffle=True, drop_last=True,
+                          seed=args.seed, with_indices=True)
+    val_loader = Loader(val_ds, args.batch, prefetch=1)
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    result = train_model(model, train_loader, val_loader, cfg,
+                         resume=args.resume)
+    print(f"best mIoU: {result['best_miou']:.4f}")
+    return 0
+
+
+def recipe_binary_patch(args):
+    """Binary defect patch training: defect-centred 50/50 sampling, 2-class
+    (reference tools/train_binary_patch.py; inference side is
+    pipeline.sliding_window)."""
+    import os
+
+    from unet_tpu.data.dataset import PatchDefectDataset, SegmentationDataset
+    from unet_tpu.data.loader import Loader
+    from unet_tpu.models import NestedUNet
+
+    size = args.image_size or 256
+    root = args.data_root
+    train_ds = PatchDefectDataset(os.path.join(root, "train/images"),
+                                  os.path.join(root, "train/masks"),
+                                  patch_size=size)
+    val_ds = SegmentationDataset(os.path.join(root, "val/images"),
+                                 os.path.join(root, "val/masks"),
+                                 target_size=(size, size),
+                                 class_remap={0: 0, 1: 0, 2: 0, 3: 1, 4: 1,
+                                              5: 1, 6: 1})
+    cfg = TrainRunCfg(epochs=args.epochs or 80, num_classes=2, image_size=size,
+                      target_miou=None, ckpt_dir=args.output, seed=args.seed,
+                      loss=LossCfg(kind="combined"),
+                      optim=OptimCfg(lr=1e-4, schedule="cosine", total_steps=0))
+    train_loader = Loader(train_ds, args.batch, shuffle=True, drop_last=True,
+                          seed=args.seed)
+    val_loader = Loader(val_ds, args.batch, prefetch=1)
+    model = NestedUNet(num_classes=2, deep_supervision=True)
+    result = train_model(model, train_loader, val_loader, cfg, resume=args.resume)
+    print(f"best mIoU: {result['best_miou']:.4f}")
+    return 0
+
+
+def recipe_inspection(args):
+    """Lightweight-encoder trainer (reference tools/train_inspection.py):
+    encoder selected via --encoder (stored on args by the CLI; default
+    mobilenet_v3_small)."""
+    from unet_tpu.data.loader import make_train_val_loaders
+    from unet_tpu.models import LightweightNestedUNet
+
+    size = args.image_size or 256
+    cfg = TrainRunCfg(epochs=args.epochs or 100, num_classes=3, image_size=size,
+                      target_miou=None, ckpt_dir=args.output, seed=args.seed,
+                      loss=LossCfg(kind="combined"),
+                      optim=OptimCfg(lr=1e-4, schedule="cosine", total_steps=0))
+    train_ds, val_ds = _datasets(args, size, advanced=True, three_class=True)
+    train_loader, val_loader = make_train_val_loaders(train_ds, val_ds,
+                                                      args.batch, seed=args.seed)
+    model = LightweightNestedUNet(
+        num_classes=3, encoder=getattr(args, "encoder", "mobilenet_v3_small"),
+        deep_supervision=True)
+    result = train_model(model, train_loader, val_loader, cfg, resume=args.resume)
+    print(f"best mIoU: {result['best_miou']:.4f}")
+    return 0
+
+
+RECIPES.update({
+    "with_monitoring": recipe_with_monitoring,
+    "binary_patch": recipe_binary_patch,
+    "inspection": recipe_inspection,
+})

@@ -145,12 +145,17 @@ def create_train_state(model, rng, sample_shape: Sequence[int],
                       apply_fn=model.apply, tx=tx)
 
 
-def make_train_step(loss_cfg: LossCfg, pmean_axis: Optional[str] = None):
+def make_train_step(loss_cfg: LossCfg, pmean_axis: Optional[str] = None,
+                    track_sample_loss: bool = False):
     """Returns train_step(state, images, labels) -> (state, metrics).
 
     `pmean_axis` names a mesh axis for explicit gradient pmean when the step
     runs under shard_map; under plain jit-over-NamedSharding XLA inserts the
     all-reduce itself and this stays None.
+
+    `track_sample_loss` adds metrics["sample_loss"] (B,), the per-sample CE
+    of the main output — feeds SampleLossTracker (the reference's worst-K
+    reporting, tools/train_with_monitoring.py:96-117).
     """
     loss_fn = make_loss_fn(loss_cfg)
 
@@ -166,9 +171,15 @@ def make_train_step(loss_cfg: LossCfg, pmean_axis: Optional[str] = None):
                 outs = state.apply_fn(variables, images, train=True)
                 new_stats = {}
             total, comps = loss_fn(outs, labels)
-            return total, (comps, new_stats)
+            sample_loss = None
+            if track_sample_loss:
+                main = outs[0] if isinstance(outs, (list, tuple)) else outs
+                logp = jax.nn.log_softmax(main, axis=-1)
+                nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+                sample_loss = jnp.mean(nll, axis=(-2, -1))
+            return total, (comps, new_stats, sample_loss)
 
-        (loss, (comps, new_stats)), grads = jax.value_and_grad(
+        (loss, (comps, new_stats, sample_loss)), grads = jax.value_and_grad(
             compute, has_aux=True)(state.params)
         if pmean_axis is not None:
             grads = jax.lax.pmean(grads, pmean_axis)
@@ -177,6 +188,8 @@ def make_train_step(loss_cfg: LossCfg, pmean_axis: Optional[str] = None):
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}
+        if sample_loss is not None:
+            metrics["sample_loss"] = sample_loss
         if comps:
             for name, v in zip(("focal", "tversky", "dice", "extra"), comps):
                 metrics[name] = v
