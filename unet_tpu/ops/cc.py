@@ -240,72 +240,47 @@ def largest_component(mask: jnp.ndarray, min_area: int = 0, connectivity: int = 
     return _batched(single, labels, stats.label, stats.area)
 
 
-def _minmax_pool(v: jnp.ndarray, fg: jnp.ndarray, take_max: bool, sentinel) -> jnp.ndarray:
-    """3x3 neighbour max (or min via negation); `sentinel` masks background
-    (+big for min, -big for max)."""
-    masked = jnp.where(fg, v, sentinel)
-    if take_max:
-        out = jax.lax.reduce_window(masked, sentinel, jax.lax.max, (3, 3), (1, 1), "SAME")
-        return jnp.where(fg, jnp.maximum(out, masked), v)
-    out = -jax.lax.reduce_window(-masked, -sentinel, jax.lax.max, (3, 3), (1, 1), "SAME")
-    return jnp.where(fg, jnp.minimum(out, masked), v)
-
-
-def _scan_minmax(v: jnp.ndarray, fg: jnp.ndarray, axis: int, take_max: bool,
-                 sentinel) -> jnp.ndarray:
-    val = jnp.where(fg, v, sentinel)
-    b = jnp.logical_not(fg)
-    op = jnp.maximum if take_max else jnp.minimum
-
-    def combine(a, c):
-        v1, b1 = a
-        v2, b2 = c
-        return jnp.where(b2, v2, op(v1, v2)), jnp.logical_or(b1, b2)
-
-    f, _ = jax.lax.associative_scan(combine, (val, b), axis=axis)
-    r, _ = jax.lax.associative_scan(combine, (val, b), axis=axis, reverse=True)
-    return jnp.where(fg, op(f, r), v)
-
-
 def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 4):
-    """Fused labels + per-pixel component bbox: min_r/max_r/min_c/max_c
-    propagate with the same pool+scan machinery as the labels (all four are
-    segment-associative extrema), so every foreground pixel ends up knowing
-    its component's bounding box without any per-component scatter."""
+    """Fused labels + per-pixel component bbox. All five propagated
+    quantities (label, min_r, max_r, min_c, max_c) are segment-associative
+    MINIMA after negating the two maxima, so each propagation pass is ONE
+    stacked (5, H, W) min-pool / segmented min-scan instead of five separate
+    calls — scans are pass-dominated, and this is the burr filter's hot loop.
+    Every foreground pixel ends up knowing its component's bounding box
+    without any per-component scatter."""
     H, W = mask.shape
     fg = mask.astype(jnp.bool_)
     big = jnp.int32(np.iinfo(np.int32).max)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    lab = jnp.where(fg, rows * W + cols, rows * W + cols)
-    state0 = (lab, rows, rows, cols, cols)  # lab, min_r, max_r, min_c, max_c
+    lab = rows * W + cols
+    # channels: label, min_r, -max_r, min_c, -max_c (all propagate as min)
+    state0 = jnp.stack([lab, rows, -rows, cols, -cols])
+    fg5 = jnp.broadcast_to(fg, (5, H, W))
+
+    def min_pool5(v):
+        masked = jnp.where(fg5, v, big)
+        out = -jax.lax.reduce_window(-masked, -big, jax.lax.max,
+                                     (1, 3, 3), (1, 1, 1), "SAME")
+        return jnp.where(fg5, jnp.minimum(out, masked), v)
 
     def body(carry):
-        (lab, mnr, mxr, mnc, mxc), _, i = carry
+        s, _, i = carry
+        m = s
         for _ in range(pool_iters):
-            lab = _min_pool(lab, fg, 8, big)
-            mnr = _minmax_pool(mnr, fg, False, big)
-            mxr = _minmax_pool(mxr, fg, True, -big)
-            mnc = _minmax_pool(mnc, fg, False, big)
-            mxc = _minmax_pool(mxc, fg, True, -big)
-        for axis in (1, 0):
-            lab = _row_scan_min(lab, fg, axis=axis)
-            mnr = _scan_minmax(mnr, fg, axis, False, big)
-            mxr = _scan_minmax(mxr, fg, axis, True, -big)
-            mnc = _scan_minmax(mnc, fg, axis, False, big)
-            mxc = _scan_minmax(mxc, fg, axis, True, -big)
-        new = (lab, mnr, mxr, mnc, mxc)
-        changed = jnp.any(jnp.stack([jnp.any(a != b) for a, b in zip(new, carry[0])]))
-        return new, changed, i + 1
+            m = min_pool5(m)
+        m = _row_scan_min(m, fg5, axis=2)
+        m = _row_scan_min(m, fg5, axis=1)
+        return m, jnp.any(m != s), i + 1
 
     def cond(carry):
         _, changed, i = carry
         return jnp.logical_and(changed, i < max_iters)
 
-    (lab, mnr, mxr, mnc, mxc), _, _ = jax.lax.while_loop(
-        cond, body, (state0, jnp.bool_(True), jnp.int32(0)))
-    labels = jnp.where(fg, lab, -1)
-    return labels, mnr, mxr, mnc, mxc
+    s5, _, _ = jax.lax.while_loop(cond, body,
+                                  (state0, jnp.bool_(True), jnp.int32(0)))
+    labels = jnp.where(fg, s5[0], -1)
+    return labels, s5[1], -s5[2], s5[3], -s5[4]
 
 
 def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: int,

@@ -60,8 +60,12 @@ def fused_conv_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     if row_tile is None:
-        budget = 2 * 1024 * 1024
-        row_tile = max(min(H, budget // max((W + 2) * Cin * 4, 1) - 2), 1)
+        # Mosaic keeps the 9 shifted-patch relayouts live concurrently, each
+        # lane-padded to 128 — size tiles by output pixels scaled down for
+        # wide channels. ~4096 px/tile at <=128ch f32 measured safe on v5e.
+        padded_c = max(-(-Cin // 128) * 128, 128)
+        pixels = max(4096 * 128 // padded_c, 256)
+        row_tile = max(min(H, pixels // W), 1)
         while H % row_tile:
             row_tile -= 1
     th = row_tile
@@ -79,16 +83,16 @@ def fused_conv_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         kern,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, th + 2, W + 2, Cin), lambda b, i: (b, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, Cin, Cout), lambda b, i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, th + 2, W + 2, Cin),
+                         lambda b, i: (b, i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, Cin, Cout), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, th, W, Cout), lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, th, W, Cout), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tiles, kernel, scale.reshape(1, -1), bias.reshape(1, -1))
 

@@ -353,9 +353,15 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
             # Stage 2 only looks at the band around ROI-limited cable, so run
             # it on a static ROI crop (+context margin) — ~4x fewer pixels on
             # the 800x448 path, which is where the CC/scan costs live.
-            burr = _burr_on_roi_crop(gray, cable, cfg, burr_fn, (H, W))
+            run = lambda g, c: _burr_on_roi_crop(g, c, cfg, burr_fn, (H, W))
         else:
-            burr = burr_fn(gray, cable, cfg.burr)
+            run = lambda g, c: burr_fn(g, c, cfg.burr)
+        # the reference early-exits when no cable is present
+        # (infer_two_stage_burr.py:69-70); lax.cond skips the whole edge/CC
+        # stack on device for cable-free batches
+        burr = jax.lax.cond(
+            jnp.any(cable), run, lambda g, c: jnp.zeros_like(cable),
+            gray, cable)
     else:
         burr = jnp.zeros_like(cable)
 
