@@ -113,3 +113,34 @@ class SingleImageInference:
         cv2.imwrite(paths["color"], colorize_mask(mask))
         cv2.imwrite(paths["overlay"], overlay(bgr, mask))
         return paths
+
+
+def summarize_checkpoints(ckpt_dir: str) -> Dict[str, Any]:
+    """Checkpoint metric summarizer (reference tools/evaluate_training_results.py):
+    collects {name: {epoch, best_miou}} from the orbax sidecar metadata plus
+    the training history, prints a ranked table."""
+    out: Dict[str, Any] = {"checkpoints": {}, "history": None}
+    root = Path(ckpt_dir)
+    for meta in sorted(root.glob("*.meta.json")):
+        data = json.loads(meta.read_text())
+        out["checkpoints"][meta.name.replace(".meta.json", "")] = {
+            "epoch": data.get("epoch"), "best_miou": data.get("best_miou")}
+    hist_path = root / "training_history.json"
+    if hist_path.exists():
+        hist = json.loads(hist_path.read_text())["history"]
+        if hist.get("miou"):
+            out["history"] = {
+                "epochs": len(hist["miou"]),
+                "best_miou": max(hist["miou"]),
+                "best_epoch": int(np.argmax(hist["miou"])),
+                "final_loss": hist["loss"][-1] if hist.get("loss") else None,
+            }
+    print(f"{'checkpoint':<20} {'epoch':>6} {'best_mIoU':>10}")
+    for name, info in sorted(out["checkpoints"].items(),
+                             key=lambda kv: -(kv[1]["best_miou"] or 0)):
+        print(f"{name:<20} {info['epoch']:>6} {info['best_miou']:>10.4f}")
+    if out["history"]:
+        h = out["history"]
+        print(f"history: {h['epochs']} epochs, best mIoU {h['best_miou']:.4f} "
+              f"@ epoch {h['best_epoch']}")
+    return out
