@@ -182,17 +182,21 @@ def burr_canny_band(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.nd
     return _cc_filter(cand, b)
 
 
-def burr_multiscale(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg) -> jnp.ndarray:
+def burr_multiscale(gray: jnp.ndarray, cable: jnp.ndarray, b: BurrCfg,
+                    mag_max: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Enhanced multi-scale edge-fusion burr detector
     (reference detect_burrs_enhanced, infer_enhanced_burr.py:69-138):
-    Canny | Sobel-magnitude | |Laplacian| inside a wide band."""
+    Canny | Sobel-magnitude | |Laplacian| inside a wide band. `mag_max`
+    supplies the FULL-frame sobel-magnitude max when running on an ROI crop
+    (the reference normalizes over the whole frame, :97)."""
     band = _morph.outer_band(cable, _morph.ellipse_kernel(b.band_px))
     blurred = jnp.round(_image.gaussian_blur(gray, b.blur_ksize, b.blur_sigma,
                                              channel_dim=False))
     e_canny = _edges.canny(blurred, b.canny_low, b.canny_high)
     mag = _edges.sobel_magnitude(gray)
     # per-image max normalization to uint8 (infer_enhanced_burr.py:97)
-    maxmag = jnp.max(mag, axis=(-2, -1), keepdims=True)
+    maxmag = (jnp.max(mag, axis=(-2, -1), keepdims=True)
+              if mag_max is None else mag_max[..., None, None])
     mag_u8 = jnp.floor(mag / jnp.maximum(maxmag, 1e-6) * 255.0)
     e_sobel = mag_u8 > b.sobel_thresh
     lap_u8 = _edges.uint8_wrap(jnp.abs(_edges.laplacian(gray)))
@@ -246,7 +250,12 @@ def _burr_on_roi_crop(gray: jnp.ndarray, cable: jnp.ndarray, cfg: PipelineCfg,
     y2 = min(r.y2 + pad, h)
     # keep lane dim a multiple of 128 when possible (TPU tiling)
     x2 = min(x1 + ((x2 - x1 + 127) // 128) * 128, w)
-    burr_crop = burr_fn(gray[..., y1:y2, x1:x2], cable[..., y1:y2, x1:x2], cfg.burr)
+    kw = {}
+    if burr_fn is burr_multiscale:
+        # full-frame sobel max for the reference's global normalization
+        kw["mag_max"] = jnp.max(_edges.sobel_magnitude(gray), axis=(-2, -1))
+    burr_crop = burr_fn(gray[..., y1:y2, x1:x2], cable[..., y1:y2, x1:x2],
+                        cfg.burr, **kw)
     out = jnp.zeros(gray.shape, jnp.bool_)
     return jax.lax.dynamic_update_slice(
         out, burr_crop, (0,) * (gray.ndim - 2) + (y1, x1))
