@@ -94,8 +94,33 @@ def diameter_metrics(pred_mask: jnp.ndarray, cable_cls: int = 1, tape_cls: int =
     if denoise:
         cable = _cc.largest_component(cable, min_area=cc_min_area)
         tape = _cc.largest_component(tape, min_area=cc_min_area)
+    return diameter_metrics_from_masks(cable, tape, mm_per_px=mm_per_px,
+                                       min_valid_rows=min_valid_rows,
+                                       smooth_ksize=smooth_ksize)
 
-    hw = pred_mask.shape[-2] * pred_mask.shape[-1]
+
+def largest_component_lowres(mask_lowres: jnp.ndarray, frame_hw, min_area: int = 50):
+    """Largest component computed at model resolution, upscaled to frame
+    resolution, with the `min_area` floor applied in FRAME pixels.
+
+    Exact vs frame-resolution largest_component: nearest-neighbour upscaling
+    maps every low-res pixel to a block, preserving the component partition
+    and the area ORDER (areas scale uniformly), so the largest component is
+    the same; the area floor is then evaluated at frame scale."""
+    from unet_tpu.ops.image import resize_nearest
+
+    kept = _cc.largest_component(mask_lowres, min_area=0)
+    big = resize_nearest(kept, frame_hw, channel_dim=False)
+    area = jnp.sum(big, axis=(-2, -1))
+    return jnp.logical_and(big, (area >= min_area)[..., None, None])
+
+
+def diameter_metrics_from_masks(cable: jnp.ndarray, tape: jnp.ndarray,
+                                mm_per_px: float = 0.05, min_valid_rows: int = 20,
+                                smooth_ksize: int = 31) -> DiameterMetrics:
+    """diameter_metrics on pre-denoised binary masks (the pipeline computes
+    the largest-CC step at model resolution via largest_component_lowres)."""
+    hw = cable.shape[-2] * cable.shape[-1]
     cable_cov = jnp.sum(cable, axis=(-2, -1)) / hw
     tape_cov = jnp.sum(tape, axis=(-2, -1)) / hw
 

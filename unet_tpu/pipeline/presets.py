@@ -119,6 +119,42 @@ def simple_7class() -> PipelineCfg:
     )
 
 
+def three_class_full() -> PipelineCfg:
+    """Full-frame 3-class segmentation, no ROI, no burr stage
+    (reference infer_video_3class_full.py)."""
+    return PipelineCfg(
+        name="three_class_full",
+        segment=SegmentCfg(num_classes=3),
+        burr=BurrCfg(method="none"),
+        geometry=GeometryCfg(enabled=True),
+    )
+
+
+def strict() -> PipelineCfg:
+    """High-threshold low-false-positive variant
+    (reference infer_video_strict.py family): per-class thresholds raised."""
+    return PipelineCfg(
+        name="strict",
+        preprocess=PreprocessCfg(model_size=(256, 256)),
+        segment=SegmentCfg(num_classes=7, threshold_mode="per_class",
+                           class_thresholds=(0.0, 0.5, 0.5, 0.8, 0.8, 0.8, 0.8)),
+        burr=BurrCfg(method="none"),
+        geometry=GeometryCfg(enabled=True),
+    )
+
+
+def debug() -> PipelineCfg:
+    """No-filter diagnostic preset (reference infer_video_debug.py:1-5):
+    plain argmax, no ROI, no postprocess, no burr — 'is the model itself
+    working'."""
+    return PipelineCfg(
+        name="debug",
+        preprocess=PreprocessCfg(model_size=(256, 256)),
+        segment=SegmentCfg(num_classes=7),
+        burr=BurrCfg(method="none"),
+    )
+
+
 PRESETS = {
     "two_stage": two_stage,
     "enhanced": enhanced,
@@ -128,6 +164,9 @@ PRESETS = {
     "production": production,
     "robust": robust,
     "simple_7class": simple_7class,
+    "three_class_full": three_class_full,
+    "strict": strict,
+    "debug": debug,
 }
 
 

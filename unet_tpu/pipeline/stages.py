@@ -382,10 +382,19 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
     diameters = None
     if cfg.geometry.enabled:
         g = cfg.geometry
-        pred = jnp.where(cable, 1, jnp.where(tape, 2, 0)).astype(jnp.int32)
-        diameters = _geo.diameter_metrics(
-            pred, mm_per_px=g.mm_per_px, min_valid_rows=g.min_valid_rows,
-            smooth_ksize=g.smooth_ksize)
+        if cfg.roi is None and not cfg.postprocess.enabled \
+                and not cfg.preprocess.letterbox:
+            # largest-CC denoise at MODEL resolution (partition-identical
+            # under nearest upscaling, min_area floor applied at frame scale)
+            # — full-frame CC labeling dominated the wrap presets otherwise
+            cable_d = _geo.largest_component_lowres(cable_m, (H, W))
+            tape_d = _geo.largest_component_lowres(tape_m, (H, W))
+        else:
+            cable_d = _cc.largest_component(cable, min_area=50)
+            tape_d = _cc.largest_component(tape, min_area=50)
+        diameters = _geo.diameter_metrics_from_masks(
+            cable_d, tape_d, mm_per_px=g.mm_per_px,
+            min_valid_rows=g.min_valid_rows, smooth_ksize=g.smooth_ksize)
 
     return FrameOutputs(
         class_map=class_map,

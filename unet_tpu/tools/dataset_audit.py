@@ -154,3 +154,61 @@ def remap_masks(mask_dir: str, out_dir: str, mapping: Dict[int, int]) -> int:
         cv2.imwrite(str(Path(out_dir) / p.name), lut[m])
         n += 1
     return n
+
+
+def update_dataset(raw_images_dir: str, raw_masks_dir: str, output_dir: str,
+                   val_ratio: float = 0.1, test_ratio: float = 0.1,
+                   seed: int = 42) -> Dict[str, int]:
+    """Re-split already-rasterized (image, mask) pairs into the processed
+    train/val/test layout (reference tools/update_dataset.py)."""
+    import random
+    import shutil
+
+    pairs = []
+    for p in sorted(Path(raw_images_dir).iterdir()):
+        if p.suffix.lower() not in (".jpg", ".jpeg", ".png"):
+            continue
+        mask = Path(raw_masks_dir) / (p.stem + ".png")
+        if mask.exists():
+            pairs.append((p, mask))
+    random.Random(seed).shuffle(pairs)
+    n_val = int(len(pairs) * val_ratio)
+    n_test = int(len(pairs) * test_ratio)
+    splits = {"train": pairs[: len(pairs) - n_val - n_test],
+              "val": pairs[len(pairs) - n_val - n_test: len(pairs) - n_test],
+              "test": pairs[len(pairs) - n_test:]}
+    counts = {}
+    for split, items in splits.items():
+        img_dir = Path(output_dir) / split / "images"
+        mask_dir = Path(output_dir) / split / "masks"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        mask_dir.mkdir(parents=True, exist_ok=True)
+        for img, mask in items:
+            shutil.copy2(img, img_dir / img.name)
+            shutil.copy2(mask, mask_dir / mask.name)
+        counts[split] = len(items)
+    return counts
+
+
+def rectangles_to_labelme(image_path: str, image_hw, rectangles,
+                          label: str = "burr_defect") -> Dict:
+    """Build a labelme-format annotation dict from (x1, y1, x2, y2) boxes —
+    the programmatic core of the mouse-driven burr annotation tool
+    (reference tools/annotate_burr.py), usable headless."""
+    import os
+    return {
+        "version": "5.0.0",
+        "flags": {},
+        "shapes": [{
+            "label": label,
+            "points": [[float(x1), float(y1)], [float(x2), float(y1)],
+                       [float(x2), float(y2)], [float(x1), float(y2)]],
+            "group_id": None,
+            "shape_type": "polygon",
+            "flags": {},
+        } for (x1, y1, x2, y2) in rectangles],
+        "imagePath": os.path.basename(image_path),
+        "imageData": None,
+        "imageHeight": int(image_hw[0]),
+        "imageWidth": int(image_hw[1]),
+    }
