@@ -115,10 +115,11 @@ def extract_masks(logits: jnp.ndarray, cfg: PipelineCfg):
                  bg/cable-tape margins (infer_video_robust.py:70-99)
     """
     seg = cfg.segment
-    probs = jax.nn.softmax(logits, axis=-1)
     if seg.threshold_mode == "argmax":
-        pred = jnp.argmax(probs, axis=-1)
+        # softmax is monotonic — argmax over logits is identical
+        pred = jnp.argmax(logits, axis=-1)
         return pred == seg.cable_cls, pred == seg.tape_cls
+    probs = jax.nn.softmax(logits, axis=-1)
 
     if seg.threshold_mode == "per_class":
         th = np.asarray(seg.class_thresholds, np.float32)
