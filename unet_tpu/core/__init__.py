@@ -1,2 +1,2 @@
 """Core runtime: checkpointing, config."""
-from unet_tpu.core import checkpoint, config  # noqa: F401
+from unet_tpu.core import checkpoint, config, profiling  # noqa: F401
