@@ -49,24 +49,65 @@ def _batched(fn, x, *rest):
     return jax.tree.map(lambda o: o.reshape(lead + o.shape[1:]), out)
 
 
+def _shift_axis(x: jnp.ndarray, d: int, axis: int, fill) -> jnp.ndarray:
+    """out[i] = x[i - d] along `axis` (static d, either sign); OOB = fill."""
+    n = x.shape[axis]
+    pad_shape = list(x.shape)
+    pad_shape[axis] = abs(d)
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    if d > 0:
+        return jnp.concatenate(
+            [pad, jax.lax.slice_in_dim(x, 0, n - d, axis=axis)], axis=axis)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(x, -d, n, axis=axis), pad], axis=axis)
+
+
+def make_run_scanner(fg: jnp.ndarray, axis: int, op=jnp.minimum,
+                     fill=np.iinfo(np.int32).max):
+    """Build a segmented-`op` run scan over contiguous fg runs along `axis`.
+
+    Returns scan(v) -> per-pixel `op`-reduction over the pixel's whole fg run
+    (both directions fused). The Kogge-Stone "blocked" ladders
+    b_k(i) = any background in (i-2^k, i] depend only on `fg`, so they are
+    precomputed ONCE here and shared across every value channel, both scan
+    directions, and every while_loop iteration — the associative_scan pair
+    formulation re-derives them per channel per direction per iteration,
+    which made the scans the hot spot of CC labeling (measured v5e: a 5-ch
+    (448,512)x8 pair scan cost ~44 ms vs ~4 ms for a 3x3 min-pool).
+
+    `v` may carry leading channel dims; `fg` is broadcast against it.
+    """
+    steps = []  # (distance, blocked_fwd, blocked_rev)
+    b_f = jnp.logical_not(fg)
+    b_r = b_f
+    d = 1
+    n = fg.shape[axis]
+    while d < n:
+        steps.append((d, b_f, b_r))
+        b_f = jnp.logical_or(b_f, _shift_axis(b_f, d, axis, True))
+        b_r = jnp.logical_or(b_r, _shift_axis(b_r, -d, axis, True))
+        d *= 2
+
+    # value arrays may have extra leading channel dims: shift axis offset
+    def scan(v: jnp.ndarray) -> jnp.ndarray:
+        off = v.ndim - fg.ndim
+        a = axis + off
+        masked = jnp.where(fg, v, fill)
+        f = masked
+        r = masked
+        for d, b_f, b_r in steps:
+            f = jnp.where(b_f, f, op(f, _shift_axis(f, d, a, fill)))
+            r = jnp.where(b_r, r, op(r, _shift_axis(r, -d, a, fill)))
+        return jnp.where(fg, op(f, r), v)
+
+    return scan
+
+
 def _row_scan_min(val: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Segmented min over contiguous fg runs along `axis` (both directions).
-
-    Segmented-min combine: a reset (background) cell blocks propagation.
-    """
-    inf = jnp.int32(np.iinfo(np.int32).max)
-    v = jnp.where(fg, val, inf)
-    b = jnp.logical_not(fg)
-
-    def combine(a, c):
-        v1, b1 = a
-        v2, b2 = c
-        return jnp.where(b2, v2, jnp.minimum(v1, v2)), jnp.logical_or(b1, b2)
-
-    fwd, _ = jax.lax.associative_scan(combine, (v, b), axis=axis)
-    rev, _ = jax.lax.associative_scan(combine, (v, b), axis=axis, reverse=True)
-    out = jnp.minimum(fwd, rev)
-    return jnp.where(fg, out, val)
+    One-shot convenience wrapper over make_run_scanner (use the scanner
+    directly inside loops so the blocked ladders are hoisted)."""
+    return make_run_scanner(fg, axis)(val)
 
 
 def _min_pool(lab2d: jnp.ndarray, fg: jnp.ndarray, connectivity: int,
@@ -85,27 +126,31 @@ def _min_pool(lab2d: jnp.ndarray, fg: jnp.ndarray, connectivity: int,
 
 
 def _cc_single(mask: jnp.ndarray, connectivity: int, max_iters: int,
-               pool_iters: int = 4) -> jnp.ndarray:
+               pool_iters: int = 16) -> jnp.ndarray:
     """Label propagation tuned to the TPU cost model: each outer iteration is
     `pool_iters` cheap 3x3 min-pools (short/diagonal hops) followed by
     segmented min-scans along rows and columns (whole straight runs at once).
     No scatter/gather — those are ~1000x costlier than reduce_window here.
-    Converges in a few outer iterations for blob/edge masks; `max_iters`
-    bounds pathological shapes (spirals)."""
+    Measured (v5e): one extra fused min-pool costs ~0.1 ms while a scan pair
+    costs ~10-40 ms, so iterations are pool-heavy to cross snaking contours
+    with as few scan passes as possible. Converges in a few outer iterations
+    for blob/edge masks; `max_iters` bounds pathological shapes (spirals)."""
     H, W = mask.shape
     fg = mask.astype(jnp.bool_)
     inf = jnp.int32(np.iinfo(np.int32).max)
     idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
            + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
     lab = jnp.where(fg, idx, idx)
+    scan_c = make_run_scanner(fg, axis=1)  # blocked ladders hoisted out of loop
+    scan_r = make_run_scanner(fg, axis=0)
 
     def body(state):
         lab, _, i = state
         m = lab
         for _ in range(pool_iters):
             m = _min_pool(m, fg, connectivity, inf)
-        m = _row_scan_min(m, fg, axis=1)
-        m = _row_scan_min(m, fg, axis=0)
+        m = scan_c(m)
+        m = scan_r(m)
         return m, jnp.any(m != lab), i + 1
 
     def cond(state):
@@ -240,47 +285,52 @@ def largest_component(mask: jnp.ndarray, min_area: int = 0, connectivity: int = 
     return _batched(single, labels, stats.label, stats.area)
 
 
-def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 4):
-    """Fused labels + per-pixel component bbox. All five propagated
-    quantities (label, min_r, max_r, min_c, max_c) are segment-associative
-    MINIMA after negating the two maxima, so each propagation pass is ONE
-    stacked (5, H, W) min-pool / segmented min-scan instead of five separate
-    calls — scans are pass-dominated, and this is the burr filter's hot loop.
-    Every foreground pixel ends up knowing its component's bounding box
-    without any per-component scatter."""
+def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 16):
+    """Fused labels + per-pixel component bbox. The propagated quantities
+    (label, max_r, min_c, max_c) are segment-associative MINIMA after
+    negating the two maxima, so each propagation pass is ONE stacked
+    (4, H, W) min-pool / segmented min-scan instead of four separate calls —
+    scans are pass-dominated, and this is the burr filter's hot loop.
+    min_r needs no channel of its own: the root label is the component's
+    minimum row-major linear index, so min_r = label // W. Every foreground
+    pixel ends up knowing its component's bounding box without any
+    per-component scatter."""
     H, W = mask.shape
     fg = mask.astype(jnp.bool_)
     big = jnp.int32(np.iinfo(np.int32).max)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     lab = rows * W + cols
-    # channels: label, min_r, -max_r, min_c, -max_c (all propagate as min)
-    state0 = jnp.stack([lab, rows, -rows, cols, -cols])
-    fg5 = jnp.broadcast_to(fg, (5, H, W))
+    # channels: label, -max_r, min_c, -max_c (all propagate as min)
+    state0 = jnp.stack([lab, -rows, cols, -cols])
+    fg4 = jnp.broadcast_to(fg, (4, H, W))
+    scan_c = make_run_scanner(fg, axis=1)  # ladders shared by all 4 channels
+    scan_r = make_run_scanner(fg, axis=0)  # and hoisted out of the loop
 
-    def min_pool5(v):
-        masked = jnp.where(fg5, v, big)
+    def min_pool4(v):
+        masked = jnp.where(fg4, v, big)
         out = -jax.lax.reduce_window(-masked, -big, jax.lax.max,
                                      (1, 3, 3), (1, 1, 1), "SAME")
-        return jnp.where(fg5, jnp.minimum(out, masked), v)
+        return jnp.where(fg4, jnp.minimum(out, masked), v)
 
     def body(carry):
         s, _, i = carry
         m = s
         for _ in range(pool_iters):
-            m = min_pool5(m)
-        m = _row_scan_min(m, fg5, axis=2)
-        m = _row_scan_min(m, fg5, axis=1)
+            m = min_pool4(m)
+        m = scan_c(m)
+        m = scan_r(m)
         return m, jnp.any(m != s), i + 1
 
     def cond(carry):
         _, changed, i = carry
         return jnp.logical_and(changed, i < max_iters)
 
-    s5, _, _ = jax.lax.while_loop(cond, body,
+    s4, _, _ = jax.lax.while_loop(cond, body,
                                   (state0, jnp.bool_(True), jnp.int32(0)))
-    labels = jnp.where(fg, s5[0], -1)
-    return labels, s5[1], -s5[2], s5[3], -s5[4]
+    labels = jnp.where(fg, s4[0], -1)
+    min_r = jnp.where(fg, s4[0] // W, 0)
+    return labels, min_r, -s4[1], s4[2], -s4[3]
 
 
 def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: int,

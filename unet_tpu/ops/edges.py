@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from unet_tpu.ops import cc as _cc
 from unet_tpu.ops.image import filter1d, filter2d, gaussian_blur
 
 # fixed-point tan(22.5 deg) * 2**15, exactly as in OpenCV's canny.cpp
@@ -212,15 +213,23 @@ def canny(img: jnp.ndarray, low: float, high: float,
 
 
 def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, cc_iters: int = 16,
-               pool_iters: int = 4) -> jnp.ndarray:
+               pool_iters: int = 16) -> jnp.ndarray:
     """Keep strong pixels plus weak pixels 8-connected (transitively) to a
     strong pixel — OpenCV's stack-walk re-expressed as boolean reachability
     propagation: per outer iteration, `pool_iters` 3x3 or-pools (diagonal /
     short hops, reduce_window is near-free on TPU) then segmented-or scans
     along rows and columns (whole straight runs at once), masked to the
-    candidate set. while_loop until fixpoint, bounded by `cc_iters`."""
+    candidate set. while_loop until fixpoint, bounded by `cc_iters`.
+    The scans' Kogge-Stone blocked ladders depend only on the candidate set,
+    so they are built once (ops.cc.make_run_scanner) and reused by every
+    direction and iteration; pools are near-free vs scans, hence pool-heavy
+    iterations (same cost model as ops.cc labeling)."""
     cand = jnp.logical_or(strong, weak)
     lead = cand.shape[:-2]
+    scan_c = _cc.make_run_scanner(cand, axis=cand.ndim - 1,
+                                  op=jnp.logical_or, fill=False)
+    scan_r = _cc.make_run_scanner(cand, axis=cand.ndim - 2,
+                                  op=jnp.logical_or, fill=False)
 
     def or_pool(s):
         return jnp.logical_and(
@@ -229,25 +238,13 @@ def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, cc_iters: int = 16,
                                   (1,) * (len(lead) + 2), "SAME"),
             cand)
 
-    def or_scan(s, axis):
-        blocked = jnp.logical_not(cand)
-
-        def comb(a, c):
-            v1, b1 = a
-            v2, b2 = c
-            return jnp.where(b2, v2, jnp.logical_or(v1, v2)), jnp.logical_or(b1, b2)
-
-        f, _ = jax.lax.associative_scan(comb, (s, blocked), axis=axis)
-        r, _ = jax.lax.associative_scan(comb, (s, blocked), axis=axis, reverse=True)
-        return jnp.logical_and(jnp.logical_or(f, r), cand)
-
     def body(state):
         s, _, i = state
         n = s
         for _ in range(pool_iters):
             n = or_pool(n)
-        n = or_scan(n, axis=n.ndim - 1)
-        n = or_scan(n, axis=n.ndim - 2)
+        n = scan_c(n)
+        n = scan_r(n)
         return n, jnp.any(n != s), i + 1
 
     def cond(state):
