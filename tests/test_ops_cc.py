@@ -153,3 +153,56 @@ def test_filter_components_batched(rng):
     for i in range(3):
         single = np.asarray(cc.filter_components_by_geometry(jnp.asarray(ms[i]), 2, 30))
         assert np.array_equal(out[i], single)
+
+
+def test_make_run_scanner_min_vs_numpy(rng):
+    """Segmented run-min (the Kogge-Stone ladder scan) vs an explicit numpy
+    per-run reduction, including channel broadcasting as used by the fused
+    bbox propagation."""
+    fg = rng.random((23, 37)) > 0.4
+    v = rng.integers(0, 1000, (4, 23, 37)).astype(np.int32)
+
+    want = v.copy()
+    for r in range(23):
+        c = 0
+        while c < 37:
+            if not fg[r, c]:
+                c += 1
+                continue
+            c2 = c
+            while c2 < 37 and fg[r, c2]:
+                c2 += 1
+            want[:, r, c:c2] = v[:, r, c:c2].min(axis=-1, keepdims=True)
+            c = c2
+
+    scan = cc.make_run_scanner(jnp.asarray(fg), axis=1)
+    got = np.asarray(scan(jnp.asarray(v)))
+    assert np.array_equal(got, want)
+
+
+def test_make_run_scanner_or_vs_numpy(rng):
+    """Segmented run-or (the hysteresis primitive) vs explicit numpy,
+    along both axes."""
+    fg = rng.random((19, 31)) > 0.35
+    v = np.logical_and(rng.random((19, 31)) > 0.8, fg)
+    for axis in (0, 1):
+        want = v.copy()
+        moved_fg = fg if axis == 1 else fg.T
+        moved_w = want if axis == 1 else want.T
+        moved_v = v if axis == 1 else v.T
+        for r in range(moved_fg.shape[0]):
+            c = 0
+            while c < moved_fg.shape[1]:
+                if not moved_fg[r, c]:
+                    c += 1
+                    continue
+                c2 = c
+                while c2 < moved_fg.shape[1] and moved_fg[r, c2]:
+                    c2 += 1
+                moved_w[r, c:c2] = moved_v[r, c:c2].any()
+                c = c2
+        want = moved_w if axis == 1 else moved_w.T
+        scan = cc.make_run_scanner(jnp.asarray(fg), axis=axis,
+                                   op=jnp.logical_or, fill=False)
+        got = np.asarray(scan(jnp.asarray(v)))
+        assert np.array_equal(np.logical_and(got, fg), np.logical_and(want, fg))
