@@ -1,0 +1,279 @@
+"""End-to-end tests of the inspect-layer wiring: defect-rule NG decisions,
+wrap-uniformity CSV, quality-gate skips, defect tracking, evidence dirs,
+rotate90 window-mode overlays (VERDICT r1 items 1/2/8)."""
+import csv
+import json
+
+import numpy as np
+import pytest
+
+
+class StubModel:
+    """Model stand-in returning fixed one-hot logits for a given mask —
+    makes the host rule layer deterministic regardless of weights."""
+
+    def __init__(self, mask: np.ndarray, num_classes: int):
+        self.mask = np.asarray(mask)
+        self.num_classes = num_classes
+
+    def apply(self, variables, x, train=False):
+        import jax.nn
+        import jax.numpy as jnp
+        onehot = jax.nn.one_hot(jnp.asarray(self.mask), self.num_classes) * 10.0
+        return jnp.broadcast_to(onehot, (x.shape[0],) + onehot.shape)
+
+
+def holey_tape_mask(s=64):
+    """Cable strip + tape band with horizontal hole stripes that morph-close
+    detects (2px at model res -> 4px at 2x frame res, ellipse-5 closable)."""
+    m = np.zeros((s, s), np.int32)
+    m[:, 8:16] = 1                       # cable, width 8
+    m[:, 28:60] = 2                      # tape, width 32
+    for y in range(0, s, 8):
+        # interior hole notches (side rails keep the tape ONE component)
+        m[y + 2:y + 4, 30:58] = 0
+    return m
+
+
+def solid_mask(s=64, dc=(8, 16), dt=(28, 60)):
+    m = np.zeros((s, s), np.int32)
+    m[:, dc[0]:dc[1]] = 1
+    m[:, dt[0]:dt[1]] = 2
+    return m
+
+
+@pytest.fixture(scope="module")
+def frames_dir(tmp_path_factory):
+    """12 synthetic 128x128 frames as an image dir source."""
+    import cv2
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        f = rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8)
+        cv2.imwrite(str(d / f"f_{i:03d}.png"), f)
+    return str(d)
+
+
+def _cfg(**kw):
+    from unet_tpu.pipeline import (BurrCfg, GeometryCfg, PipelineCfg,
+                                   PreprocessCfg, SegmentCfg)
+    base = dict(
+        name="test",
+        preprocess=PreprocessCfg(model_size=(64, 64)),
+        segment=SegmentCfg(num_classes=3),
+        burr=BurrCfg(method="none"),
+        geometry=GeometryCfg(enabled=True, analyze_defects=True),
+    )
+    base.update(kw)
+    return PipelineCfg(**base)
+
+
+def test_tape_hole_ng_end_to_end(frames_dir, tmp_path):
+    """A holey tape must fire the tape_excessive_holes NG rule — proves
+    analyze_defects flows device -> FrameResult -> make_decision
+    (reference infer_video_production.py:169-226)."""
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine
+
+    cfg = _cfg()
+    model = StubModel(holey_tape_mask(), 3)
+    eng = InferenceEngine(model, {}, cfg, EngineConfig(
+        batch=4, output_dir=str(tmp_path), write_video=False,
+        window_enabled=True, window_min_frames=3, window_max_frames=4,
+        evidence_dirs=True, print_interval=100))
+    summary = eng.process_video(frames_dir)
+    assert summary["total_windows"] == 3
+    assert summary["ng_windows"] == 3
+    jsonl = tmp_path / "events" / "inspection_events.jsonl"
+    recs = [json.loads(l) for l in open(jsonl)]
+    all_reasons = "; ".join(r for rec in recs for r in rec["reasons"])
+    assert "tape_excessive_holes" in all_reasons
+    assert "tape_fragmented" not in all_reasons  # single tape component
+
+    # evidence dirs: every NG window has its frames + overlays + info json
+    # (reference infer_video_production.py:299-456)
+    wdirs = sorted((tmp_path / "windows").iterdir())
+    assert len(wdirs) == 3
+    info = json.loads((wdirs[0] / "window_info.json").read_text())
+    assert info["result"] == "NG"
+    n_frames = info["num_frames"]
+    assert len(list(wdirs[0].glob("frame_*.jpg"))) == n_frames
+    assert len(list(wdirs[0].glob("overlay_*.jpg"))) == n_frames
+    assert info["frame_ids"] == sorted(info["frame_ids"])
+
+
+def test_solid_tape_no_hole_reason(frames_dir, tmp_path):
+    """Control: solid tape must NOT fire hole/fragmentation rules."""
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine
+
+    eng = InferenceEngine(StubModel(solid_mask(), 3), {}, _cfg(), EngineConfig(
+        batch=4, output_dir=str(tmp_path), write_video=False,
+        window_enabled=True, window_min_frames=3, window_max_frames=4,
+        print_interval=100))
+    eng.process_video(frames_dir)
+    jsonl = tmp_path / "events" / "inspection_events.jsonl"
+    all_reasons = "; ".join(r for rec in map(json.loads, open(jsonl))
+                            for r in rec["reasons"])
+    assert "tape_excessive_holes" not in all_reasons
+    assert "tape_fragmented" not in all_reasons
+
+
+def test_wrap_uniformity_csv(frames_dir, tmp_path):
+    """--preset wrap_uniformity semantics: per-frame ratio rows with THICK
+    flags land in wrap_uniformity.csv (reference infer_wrap_uniformity.py:33-131,
+    infer_wrap_7class.py:88-90)."""
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine, engine_hints
+
+    hints = engine_hints("wrap_uniformity")
+    assert hints["wrap_monitor_enabled"] and not hints["window_enabled"]
+    # dt/dc = 32/8 = 4 > 1.5 -> THICK every frame
+    eng = InferenceEngine(StubModel(solid_mask(), 3), {}, _cfg(), EngineConfig(
+        batch=4, output_dir=str(tmp_path), write_video=False,
+        print_interval=100, **hints))
+    summary = eng.process_video(frames_dir)
+    assert summary["wrap_events"] == 12
+    rows = list(csv.DictReader(open(tmp_path / "wrap_uniformity.csv")))
+    assert len(rows) == 12
+    assert all(r["is_thick"] == "1" and r["is_thin"] == "0" for r in rows)
+    assert float(rows[0]["ratio"]) == pytest.approx(4.0, abs=0.2)
+
+
+def test_quality_gate_skips_flat_frames(tmp_path):
+    """Flat (glitch) frames are skipped with a reason and excluded from the
+    per-frame CSV (reference infer_video.py:73-118, 358-391)."""
+    import cv2
+
+    from unet_tpu.pipeline import (EngineConfig, InferenceEngine, InspectCfg)
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    flat_ids = {4, 5}
+    for i in range(8):
+        if i in flat_ids:
+            f = np.full((128, 128, 3), 128, np.uint8)
+        else:
+            f = rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8)
+        cv2.imwrite(str(d / f"f_{i:03d}.png"), f)
+
+    cfg = _cfg(inspect=InspectCfg(quality_stats=True))
+    eng = InferenceEngine(StubModel(solid_mask(), 3), {}, cfg, EngineConfig(
+        batch=4, output_dir=str(tmp_path / "out"), write_video=True,
+        quality_enabled=True, print_interval=100))
+    summary = eng.process_video(str(d))
+    assert summary["skipped_frames"] == 2
+    skipped = list(csv.DictReader(open(tmp_path / "out" / "skipped.csv")))
+    assert {int(r["frame_id"]) for r in skipped} == {5, 6}  # 1-based ids
+    assert all("glitch" in r["reason"] for r in skipped)
+    kept = list(csv.DictReader(open(tmp_path / "out" / "events.csv")))
+    assert len(kept) == 6
+
+
+def test_defect_tracker_confirms_persistent_blob(frames_dir, tmp_path):
+    """A defect blob persisting across frames is IoU-confirmed after
+    confirm_frames (reference infer_video_optimized.py:66-189)."""
+    from unet_tpu.pipeline import (EngineConfig, GeometryCfg, InferenceEngine,
+                                   InspectCfg, SegmentCfg)
+
+    mask = solid_mask()
+    mask[10:20, 40:52] = 4  # loose_defect blob inside the tape band
+    cfg = _cfg(segment=SegmentCfg(num_classes=7),
+               geometry=GeometryCfg(enabled=True, analyze_defects=True),
+               inspect=InspectCfg(track_defects=True))
+    eng = InferenceEngine(StubModel(mask, 7), {}, cfg, EngineConfig(
+        batch=4, output_dir=str(tmp_path), write_video=False,
+        tracker_enabled=True, tracker_confirm_frames=3, print_interval=100))
+    summary = eng.process_video(frames_dir)
+    assert summary["confirmed_defects"] == 10  # frames 3..12
+    rows = list(csv.DictReader(open(tmp_path / "confirmed_defects.csv")))
+    assert rows[0]["type"] == "loose_defect"
+    assert int(rows[0]["class_id"]) == 4
+    assert all(r["defect_id"] == rows[0]["defect_id"] for r in rows)
+    # defect area also reaches the window rules via analyze_defects
+    assert float(rows[0]["confidence"]) >= 0.5
+
+
+def test_event_detector_cooldown_events(frames_dir, tmp_path):
+    """Per-event-type consecutive-frame counters + cooldown
+    (reference src/refactor/event_detector.py:24-175): constant THICK ratio
+    fires thick_wrap every cooldown_frames."""
+    from unet_tpu.inspect import EventConfig
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine
+
+    eng = InferenceEngine(StubModel(solid_mask(), 3), {}, _cfg(), EngineConfig(
+        batch=4, output_dir=str(tmp_path), write_video=False,
+        event_detector_enabled=True,
+        event_cfg=EventConfig(ratio_max=1.5, thick_wrap_frames=3,
+                              cooldown_frames=5),
+        print_interval=100))
+    summary = eng.process_video(frames_dir)
+    rows = list(csv.DictReader(open(tmp_path / "detector_events.csv")))
+    assert summary["detector_events"] == len(rows) >= 2
+    assert all(r["event_type"] == "thick_wrap" for r in rows)
+    fids = [int(r["frame_id"]) for r in rows]
+    assert all(b - a >= 5 for a, b in zip(fids, fids[1:]))  # cooldown held
+
+
+def test_window_mode_rotate90_overlay(tmp_path):
+    """Window-mode event logging with rotate90_ccw preprocess must use the
+    preprocessed frame for overlays (r1 VERDICT weak #3 shape-mismatch bug)."""
+    import cv2
+
+    from unet_tpu.pipeline import (EngineConfig, InferenceEngine,
+                                   PreprocessCfg)
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(8):
+        # non-square frames so rotation actually changes the shape
+        cv2.imwrite(str(d / f"f_{i:03d}.png"),
+                    rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8))
+
+    cfg = _cfg(preprocess=PreprocessCfg(model_size=(64, 64), rotate90_ccw=True))
+    eng = InferenceEngine(StubModel(solid_mask(), 3), {}, cfg, EngineConfig(
+        batch=4, output_dir=str(tmp_path / "out"), write_video=True,
+        window_enabled=True, window_min_frames=3, window_max_frames=4,
+        print_interval=100))
+    summary = eng.process_video(str(d))
+    assert summary["total_windows"] == 2
+    ev = tmp_path / "out" / "events"
+    imgs = list(ev.rglob("*.jpg"))
+    assert imgs, "event logger wrote no images"
+    im = cv2.imread(str(imgs[0]))
+    assert im.shape[:2] == (128, 96)  # rotated working resolution
+
+
+def test_stages_quality_and_components():
+    """Device-side quality stats + defect component tables vs numpy."""
+    import jax.numpy as jnp
+
+    from unet_tpu.pipeline import InspectCfg, SegmentCfg
+    from unet_tpu.pipeline import stages
+
+    mask = solid_mask()
+    mask[5:9, 40:46] = 4
+    mask[30:36, 30:35] = 5
+    cfg = _cfg(segment=SegmentCfg(num_classes=7),
+               inspect=InspectCfg(quality_stats=True, track_defects=True))
+    model = StubModel(mask, 7)
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 255, (2, 128, 128, 3)).astype(np.uint8)
+    frames[1] = 128  # flat frame
+    out = stages.run_pipeline({}, jnp.asarray(frames), model, cfg)
+
+    gray = (0.114 * frames[..., 0] + 0.587 * frames[..., 1]
+            + 0.299 * frames[..., 2])
+    q = out.quality
+    assert np.asarray(q.gray_std)[1] < 1e-3
+    assert np.asarray(q.gray_std)[0] == pytest.approx(gray[0].std(), rel=0.01)
+    assert np.asarray(q.mad)[0] == pytest.approx(0.0, abs=1e-3)  # first=self
+    assert np.asarray(q.mad)[1] == pytest.approx(
+        np.abs(gray[1] - gray[0]).mean(), rel=0.01)
+
+    dcomp = out.defect_components
+    valid = np.asarray(dcomp.valid)[0]
+    assert valid.sum() == 2
+    cls = sorted(np.asarray(dcomp.class_id)[0][valid].tolist())
+    assert cls == [4, 5]
+    areas = sorted(np.asarray(dcomp.area)[0][valid].tolist())
+    assert areas == [4 * 6 * 4, 6 * 5 * 4]  # 2x upscale to 128 => x4 area

@@ -50,7 +50,8 @@ def cmd_infer(args) -> int:
     import jax.numpy as jnp
 
     from unet_tpu.core.checkpoint import load_model_variables
-    from unet_tpu.pipeline import EngineConfig, InferenceEngine, get_preset
+    from unet_tpu.pipeline import (EngineConfig, InferenceEngine, engine_hints,
+                                   get_preset)
     from unet_tpu.inspect import ThresholdConfig
 
     preset_kwargs = {}
@@ -75,6 +76,8 @@ def cmd_infer(args) -> int:
                 **{**cfg.segment.__dict__, "num_classes": num_classes}))
         if info.get("kind") == "simple_unet":
             arch = "simple_unet"
+        elif info.get("kind") == "nested_unet_resnet50":
+            arch = "nested_unet_resnet50"
         model = _build_model(num_classes, arch, args.dtype)
     else:
         print("warning: no --model given; using random weights (smoke mode)")
@@ -83,11 +86,17 @@ def cmd_infer(args) -> int:
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
                                train=False)
 
+    hints = engine_hints(args.preset)
+    if args.window is not None:
+        hints["window_enabled"] = bool(args.window)
+    if hints.get("window_enabled") and not cfg.geometry.enabled:
+        cfg = cfg.replace(geometry=cfg.geometry.__class__(
+            **{**cfg.geometry.__dict__, "enabled": True}))
     ecfg = EngineConfig(
         batch=args.batch, frame_stride=args.frame_stride,
+        turn_hz=args.turn_hz,
         print_interval=args.print_interval, write_video=not args.no_video,
-        output_dir=args.output, window_enabled=cfg.geometry.enabled,
-        thresholds=ThresholdConfig())
+        output_dir=args.output, thresholds=ThresholdConfig(), **hints)
     engine = InferenceEngine(model, variables, cfg, ecfg)
     engine.process_video(args.video, max_frames=args.max_frames)
     return 0
@@ -188,6 +197,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resize to 800x448 (reference --normalize-resolution)")
     pi.add_argument("--burr-sensitivity", default="medium",
                     choices=["low", "medium", "high"])
+    pi.add_argument("--window", type=int, default=None, choices=[0, 1],
+                    help="force window/production mode on (1) or off (0); "
+                         "default follows the preset")
+    pi.add_argument("--turn-hz", type=float, default=None,
+                    help="turn-rate frame sampling (reference infer_video.py)")
     pi.set_defaults(fn=cmd_infer)
 
     pt = sub.add_parser("train", help="training recipes (tools/train*.py family)")

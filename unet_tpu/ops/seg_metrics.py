@@ -23,7 +23,9 @@ import numpy as np
 def confusion_matrix(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """(C, C) confusion matrix, rows = target, cols = pred
     (reference src/utils/metrics.py:102-127). One scatter-add; sum across
-    batches/devices before finalizing."""
+    batches/devices before finalizing. Targets >= num_classes are dropped
+    (JAX out-of-bounds scatter semantics) — used by the train loop to mask
+    padded validation samples."""
     t = target.reshape(-1).astype(jnp.int32)
     p = pred.reshape(-1).astype(jnp.int32)
     flat = t * num_classes + p

@@ -113,6 +113,24 @@ class GeometryCfg:
     mm_per_px: float = 0.05
     min_valid_rows: int = 20
     smooth_ksize: int = 31
+    # per-frame defect analysis feeding the window decision rules
+    # (reference geometry_enhanced.py:246-330, infer_video_production.py:169-226)
+    analyze_defects: bool = False
+    hole_min_size: int = 10
+    defect_classes: Tuple[int, ...] = (3, 4, 5, 6)
+    max_components: int = 32
+
+
+@dataclass(frozen=True)
+class InspectCfg:
+    """Device-side inputs for the host inspection gates/trackers."""
+    # per-frame Laplacian-variance / gray-std / frame-diff MAD for the
+    # FrameQualityGate (reference infer_video.py:73-118)
+    quality_stats: bool = False
+    # per-component defect stats (bbox/area/class) for the DefectTracker
+    # (reference infer_video_optimized.py:66-189)
+    track_defects: bool = False
+    track_max_components: int = 16
 
 
 @dataclass(frozen=True)
@@ -124,6 +142,7 @@ class PipelineCfg:
     burr: BurrCfg = field(default_factory=BurrCfg)
     postprocess: PostprocessCfg = field(default_factory=PostprocessCfg)
     geometry: GeometryCfg = field(default_factory=GeometryCfg)
+    inspect: InspectCfg = field(default_factory=InspectCfg)
     roi: Optional[ROI] = None
     batch: int = 1
 

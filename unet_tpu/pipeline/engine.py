@@ -3,18 +3,24 @@
 Replaces the reference's 22 per-script main loops (SURVEY §1) with one
 engine: batched decode -> async device dispatch (double-buffered so host
 decode/visualization overlaps device compute) -> per-frame host logic
-(quality gate, per-frame CSV stats, event detection, window aggregation,
-OK/NG events, overlay video).
+(quality gate, event detection, defect tracking, wrap-uniformity monitor,
+per-frame CSV stats, window aggregation, OK/NG events, overlay video).
 
 Observable outputs match the reference flagship loop
 (infer_two_stage_burr.py:269-377): result.mp4 with ROI/contour overlay + HUD,
-per-frame cable/tape/burr % prints, final FPS + burr-frame summary — plus the
-production-mode window events (infer_video_production.py:298-456,
-tools/inspect_tool.py).
+per-frame cable/tape/burr % prints, final FPS + burr-frame summary — plus:
+  * production window events + per-NG-window evidence dirs
+    (infer_video_production.py:298-456, tools/inspect_tool.py)
+  * quality-gate skip-with-reason rows (infer_video.py:73-118, 358-391)
+  * per-event-type cooldown events (src/refactor/event_detector.py:24-175)
+  * IoU-confirmed defect tracks (infer_video_optimized.py:66-189)
+  * wrap_uniformity.csv THIN/THICK/uniformity log
+    (infer_wrap_uniformity.py:33-131, infer_wrap_7class.py:88-90)
 """
 from __future__ import annotations
 
 import csv
+import json
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -24,8 +30,10 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from unet_tpu.events import InspectionEventLogger, EventOutputConfig
-from unet_tpu.inspect import (FrameQualityGate, FrameResult, ThresholdConfig,
-                              WindowAggregator, make_decision)
+from unet_tpu.inspect import (DefectTracker, EventConfig, EventDetector,
+                              FrameMetrics, FrameQualityGate, FrameResult,
+                              ThresholdConfig, WindowAggregator,
+                              WrapUniformityMonitor, make_decision)
 from unet_tpu.io.video import ImageDirReader, VideoReader, VideoWriter
 from unet_tpu.pipeline import stages
 from unet_tpu.pipeline.config import PipelineCfg
@@ -49,8 +57,43 @@ class EngineConfig:
     window_min_frames: int = 6
     window_max_frames: int = 12
     thresholds: ThresholdConfig = field(default_factory=ThresholdConfig)
+    # per-NG-window evidence dirs: every window frame + overlay +
+    # window_info.json (reference infer_video_production.py:299-456)
+    evidence_dirs: bool = False
+    # frame quality gate (requires cfg.inspect.quality_stats;
+    # reference infer_video.py:73-118)
+    quality_enabled: bool = False
+    quality_blur_th: float = 80.0
+    quality_flat_th: float = 8.0
+    quality_motion_th: float = 10.0
+    quality_glitch_flat_th: float = 3.0
+    # consecutive-frame event detector with per-type cooldown (requires
+    # cfg.geometry.enabled; reference src/refactor/event_detector.py:24-175)
+    event_detector_enabled: bool = False
+    event_cfg: EventConfig = field(default_factory=EventConfig)
+    # IoU-matched multi-frame defect confirmation (requires
+    # cfg.inspect.track_defects; reference infer_video_optimized.py:66-189)
+    tracker_enabled: bool = False
+    tracker_confirm_frames: int = 3
+    tracker_iou: float = 0.3
+    tracker_stale_frames: int = 10
+    # wrap-uniformity monitor + CSV (requires cfg.geometry.enabled;
+    # reference infer_wrap_uniformity.py:33-131)
+    wrap_monitor_enabled: bool = False
+    wrap_ratio_min: float = 1.05
+    wrap_ratio_max: float = 1.5
+    wrap_window: int = 30
+    wrap_std_threshold: float = 0.15
     camera_id: str = "cam0"
     max_in_flight: int = 2  # device batches in flight (double buffering)
+
+    def merged(self, **kw) -> "EngineConfig":
+        import dataclasses
+        return dataclasses.replace(self, **kw)
+
+
+CLASS_NAMES = {3: "bulge_defect", 4: "loose_defect", 5: "damage_defect",
+               6: "thin_defect"}
 
 
 class InferenceEngine:
@@ -61,7 +104,22 @@ class InferenceEngine:
         self.cfg = cfg
         self.ecfg = engine_cfg or EngineConfig()
         self.step = stages.build_step(model, cfg)
-        self.quality_gate: Optional[FrameQualityGate] = None
+        e = self.ecfg
+        self.quality_gate: Optional[FrameQualityGate] = (
+            FrameQualityGate(True, e.quality_blur_th, e.quality_flat_th,
+                             e.quality_motion_th, e.quality_glitch_flat_th)
+            if e.quality_enabled else None)
+        if self.quality_gate is not None and not cfg.inspect.quality_stats:
+            raise ValueError("quality_enabled requires cfg.inspect.quality_stats "
+                             "(the gate's statistics come from the device step)")
+        self.event_detector: Optional[EventDetector] = (
+            EventDetector(e.event_cfg) if e.event_detector_enabled else None)
+        self.tracker: Optional[DefectTracker] = (
+            DefectTracker(e.tracker_confirm_frames, e.tracker_iou,
+                          e.tracker_stale_frames, CLASS_NAMES)
+            if e.tracker_enabled else None)
+        if self.tracker is not None and not cfg.inspect.track_defects:
+            raise ValueError("tracker_enabled requires cfg.inspect.track_defects")
 
     def _host_preprocess(self, frame: np.ndarray, hw) -> np.ndarray:
         """Mirror the device-side geometric preprocess (rotate/normalize) on
@@ -75,12 +133,55 @@ class InferenceEngine:
 
     # -- host-side consumers -------------------------------------------------
 
+    def _close_window(self, state: Dict[str, Any], frame: np.ndarray,
+                      vis: Optional[np.ndarray], class_map_i, roi) -> None:
+        """Aggregated window is ready: decide, log, write evidence."""
+        agg = state["aggregator"]
+        stats = agg.get_statistics()
+        decision = make_decision(stats, self.ecfg.thresholds)
+        state["decisions"].append(decision)
+        if state["event_logger"] is not None:
+            if vis is None:
+                vis = two_stage_overlay(frame, class_map_i, roi)
+            state["event_logger"].log_event(
+                decision, stats, frame_bgr=frame, overlay_bgr=vis,
+                camera_id=self.ecfg.camera_id)
+        if self.ecfg.evidence_dirs and decision.result == "NG":
+            # per-window evidence dir: all frames + overlays + window_info.json
+            # (reference infer_video_production.py:299-456)
+            wdir = Path(self.ecfg.output_dir) / "windows" / decision.window_id
+            wdir.mkdir(parents=True, exist_ok=True)
+            for fid, wf, wo in state["window_frames"]:
+                self._imwrite(wdir / f"frame_{fid:06d}.jpg", wf)
+                self._imwrite(wdir / f"overlay_{fid:06d}.jpg", wo)
+            (wdir / "window_info.json").write_text(json.dumps({
+                "window_id": decision.window_id,
+                "result": decision.result,
+                "severity": decision.severity,
+                "reasons": decision.reasons,
+                "metrics": decision.metrics,
+                "num_frames": stats.num_frames,
+                "frame_ids": [fid for fid, _, _ in state["window_frames"]],
+            }, ensure_ascii=False, indent=2), encoding="utf-8")
+        state["window_frames"].clear()
+        agg.reset()
+
+    @staticmethod
+    def _imwrite(path, img) -> None:
+        from unet_tpu.events.emitters import _imwrite
+        _imwrite(path, img)
+
     def _consume(self, ids: List[int], frames: np.ndarray, n_valid: int,
                  out, state: Dict[str, Any]) -> None:
         class_map = np.asarray(out.class_map)
         cable_px = np.asarray(out.cable_px)
         tape_px = np.asarray(out.tape_px)
         burr_px = np.asarray(out.burr_px)
+        quality = (None if out.quality is None else
+                   tuple(np.asarray(q) for q in out.quality))
+        comps = (None if out.defect_components is None else
+                 {f: np.asarray(getattr(out.defect_components, f))
+                  for f in out.defect_components._fields})
         h, w = class_map.shape[-2:]
 
         roi = None
@@ -92,6 +193,20 @@ class InferenceEngine:
         for i in range(n_valid):
             fid = ids[i]
             state["processed"] += 1
+
+            if self.quality_gate is not None and quality is not None:
+                q = self.quality_gate.check(float(quality[0][i]),
+                                            float(quality[1][i]),
+                                            float(quality[2][i]))
+                if q.is_bad:
+                    state["skipped"].append([fid, q.reason, f"{q.lap_var:.2f}",
+                                             f"{q.gray_std:.2f}", f"{q.mad:.2f}"])
+                    if state["writer"] is not None:
+                        frame = self._host_preprocess(frames[i], (h, w))
+                        draw_hud(frame, [f"Frame: {fid} [SKIPPED] {q.reason}"])
+                        state["writer"].write(frame)
+                    continue
+
             cable_ratio = cable_px[i] / roi_area * 100
             tape_ratio = tape_px[i] / roi_area * 100
             burr_ratio = burr_px[i] / roi_area * 100
@@ -103,9 +218,48 @@ class InferenceEngine:
             state["csv_rows"].append([fid, f"{cable_ratio:.2f}", f"{tape_ratio:.2f}",
                                       f"{burr_ratio:.2f}", int(burr_px[i]), status])
 
-            if state["writer"] is not None:
+            dc_px = dt_px = None
+            if out.diameters is not None:
+                dc_px = float(np.asarray(out.diameters.dc_px)[i])
+                dt_px = float(np.asarray(out.diameters.dt_px)[i])
+
+            if state["wrap_monitor"] is not None and dc_px is not None:
+                r = state["wrap_monitor"].update(fid, dc_px, dt_px)
+                if r["is_thin"]:
+                    state["wrap_events"].append((fid, "thin"))
+                if r["is_thick"]:
+                    state["wrap_events"].append((fid, "thick"))
+
+            if self.event_detector is not None and dc_px is not None:
+                ratio = dt_px / dc_px if dc_px > 0 else None
+                fired = self.event_detector.add_frame(FrameMetrics(
+                    frame_id=fid, dc_px=dc_px, dt_px=dt_px,
+                    delta_d_px=dt_px - dc_px, ratio=ratio,
+                    has_burr=bool(has_burr),
+                    cable_coverage=cable_ratio / 100,
+                    tape_coverage=tape_ratio / 100))
+                for name in fired:
+                    state["detector_events"].append((fid, name))
+
+            if self.tracker is not None and comps is not None:
+                detections = [
+                    {"class_id": int(comps["class_id"][i, k]),
+                     "bbox": (float(comps["left"][i, k]), float(comps["top"][i, k]),
+                              float(comps["left"][i, k] + comps["width"][i, k]),
+                              float(comps["top"][i, k] + comps["height"][i, k])),
+                     "area": int(comps["area"][i, k])}
+                    for k in range(comps["valid"].shape[-1])
+                    if comps["valid"][i, k]]
+                for c in self.tracker.update(detections, fid):
+                    state["confirmed_defects"].append(c)
+
+            vis = None
+            frame = None
+            if state["writer"] is not None or (
+                    self.ecfg.evidence_dirs and state["aggregator"] is not None):
                 frame = self._host_preprocess(frames[i], (h, w))
                 vis = two_stage_overlay(frame, class_map[i], roi)
+            if state["writer"] is not None:
                 elapsed = time.time() - state["t0"]
                 fps_now = state["processed"] / elapsed if elapsed > 0 else 0.0
                 draw_hud(vis, [
@@ -118,18 +272,17 @@ class InferenceEngine:
             if state["aggregator"] is not None and out.diameters is not None:
                 state["aggregator"].add_frame(FrameResult.from_device(
                     timestamp_ns=int(fid / max(state["fps_in"], 1e-6) * 1e9),
-                    frame_id=fid, diameter=out.diameters, index=i))
-                if state["aggregator"].is_ready():
-                    stats = state["aggregator"].get_statistics()
-                    decision = make_decision(stats, self.ecfg.thresholds)
-                    state["decisions"].append(decision)
-                    if state["event_logger"] is not None:
-                        frame = frames[i]
+                    frame_id=fid, diameter=out.diameters, defects=out.defects,
+                    index=i))
+                if self.ecfg.evidence_dirs:
+                    if frame is None:
+                        frame = self._host_preprocess(frames[i], (h, w))
                         vis = two_stage_overlay(frame, class_map[i], roi)
-                        state["event_logger"].log_event(
-                            decision, stats, frame_bgr=frame, overlay_bgr=vis,
-                            camera_id=self.ecfg.camera_id)
-                    state["aggregator"].reset()
+                    state["window_frames"].append((fid, frame, vis))
+                if state["aggregator"].is_ready():
+                    if frame is None:
+                        frame = self._host_preprocess(frames[i], (h, w))
+                    self._close_window(state, frame, vis, class_map[i], roi)
 
             if state["processed"] % self.ecfg.print_interval == 0:
                 print(f"[{state['processed']:4d}] Frame {fid} {status} | "
@@ -155,7 +308,9 @@ class InferenceEngine:
         out_dir.mkdir(parents=True, exist_ok=True)
 
         state: Dict[str, Any] = {
-            "processed": 0, "burr_frames": 0, "csv_rows": [],
+            "processed": 0, "burr_frames": 0, "csv_rows": [], "skipped": [],
+            "detector_events": [], "confirmed_defects": [], "wrap_events": [],
+            "window_frames": [],
             "t0": time.time(), "decisions": [], "fps_in": source.meta.fps,
             "writer": VideoWriter(str(out_dir / "result.mp4"), source.meta.fps)
             if self.ecfg.write_video else None,
@@ -165,7 +320,14 @@ class InferenceEngine:
             "event_logger": InspectionEventLogger(EventOutputConfig(
                 output_dir=str(out_dir / "events")))
             if self.ecfg.window_enabled else None,
+            "wrap_monitor": WrapUniformityMonitor(
+                self.ecfg.wrap_ratio_min, self.ecfg.wrap_ratio_max,
+                self.ecfg.wrap_window, self.ecfg.wrap_std_threshold,
+                csv_path=str(out_dir / "wrap_uniformity.csv"))
+            if self.ecfg.wrap_monitor_enabled else None,
         }
+        if self.ecfg.wrap_monitor_enabled and not self.cfg.geometry.enabled:
+            raise ValueError("wrap_monitor_enabled requires cfg.geometry.enabled")
 
         import jax.numpy as jnp
         in_flight: deque = deque()
@@ -185,6 +347,25 @@ class InferenceEngine:
             wr.writerow(["frame_id", "cable_pct", "tape_pct", "burr_pct",
                          "burr_px", "status"])
             wr.writerows(state["csv_rows"])
+        if self.quality_gate is not None:
+            with open(out_dir / "skipped.csv", "w", newline="") as f:
+                wr = csv.writer(f)
+                wr.writerow(["frame_id", "reason", "lap_var", "gray_std", "mad"])
+                wr.writerows(state["skipped"])
+        if self.event_detector is not None:
+            with open(out_dir / "detector_events.csv", "w", newline="") as f:
+                wr = csv.writer(f)
+                wr.writerow(["frame_id", "event_type"])
+                wr.writerows(state["detector_events"])
+        if self.tracker is not None:
+            with open(out_dir / "confirmed_defects.csv", "w", newline="") as f:
+                wr = csv.writer(f)
+                wr.writerow(["defect_id", "type", "class_id", "start_frame",
+                             "duration", "area", "confidence"])
+                for c in state["confirmed_defects"]:
+                    wr.writerow([c["defect_id"], c["type"], c["class_id"],
+                                 c["start_frame"], c["duration"], c["area"],
+                                 f"{c['confidence']:.2f}"])
 
         elapsed = time.time() - state["t0"]
         summary = {
@@ -192,6 +373,10 @@ class InferenceEngine:
             "elapsed_sec": round(elapsed, 2),
             "fps": round(state["processed"] / elapsed, 2) if elapsed > 0 else 0.0,
             "burr_frames": state["burr_frames"],
+            "skipped_frames": len(state["skipped"]),
+            "detector_events": len(state["detector_events"]),
+            "confirmed_defects": len(state["confirmed_defects"]),
+            "wrap_events": len(state["wrap_events"]),
             "ng_windows": sum(1 for d in state["decisions"] if d.result == "NG"),
             "total_windows": len(state["decisions"]),
             "output_dir": str(out_dir),

@@ -8,8 +8,9 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-from unet_tpu.pipeline.config import (ROI, BurrCfg, GeometryCfg, PipelineCfg,
-                                      PostprocessCfg, PreprocessCfg, SegmentCfg)
+from unet_tpu.pipeline.config import (ROI, BurrCfg, GeometryCfg, InspectCfg,
+                                      PipelineCfg, PostprocessCfg,
+                                      PreprocessCfg, SegmentCfg)
 
 # Burr sensitivity presets (reference infer_two_stage_burr.py:194-198; only
 # the area bounds reach the detector — band_out/laplacian_threshold are dead
@@ -84,10 +85,36 @@ def wrap_7class() -> PipelineCfg:
 
 
 def production() -> PipelineCfg:
-    """Production engine wiring geometry + window aggregation
-    (reference infer_video_production.py:110-226)."""
+    """Production engine wiring geometry + per-frame defect analysis +
+    window aggregation (reference infer_video_production.py:110-226 calling
+    geometry_enhanced.compute_diameter_metrics + analyze_defects)."""
     cfg = two_stage()
-    return cfg.replace(name="production", geometry=GeometryCfg(enabled=True))
+    return cfg.replace(name="production",
+                       geometry=GeometryCfg(enabled=True, analyze_defects=True))
+
+
+def video_full() -> PipelineCfg:
+    """Full-featured 7-class pipeline (reference infer_video.py): 256-input
+    model, frame quality gate, geometry for thickness rules, per-class-
+    priority mask merge (per_class thresholding), window-aggregation mode."""
+    return PipelineCfg(
+        name="video_full",
+        preprocess=PreprocessCfg(model_size=(256, 256)),
+        segment=SegmentCfg(num_classes=7, threshold_mode="per_class",
+                           class_thresholds=(0.0, 0.35, 0.35, 0.70, 0.70, 0.70, 0.70)),
+        burr=BurrCfg(method="none"),
+        geometry=GeometryCfg(enabled=True, analyze_defects=True),
+        inspect=InspectCfg(quality_stats=True),
+    )
+
+
+def optimized() -> PipelineCfg:
+    """Defect-tracking variant (reference infer_video_optimized.py:66-189):
+    IoU-matched multi-frame confirmation of defect components."""
+    return video_full().replace(
+        name="optimized",
+        inspect=InspectCfg(quality_stats=True, track_defects=True),
+    )
 
 
 def robust() -> PipelineCfg:
@@ -162,6 +189,8 @@ PRESETS = {
     "wrap_uniformity": wrap_uniformity,
     "wrap_7class": wrap_7class,
     "production": production,
+    "video_full": video_full,
+    "optimized": optimized,
     "robust": robust,
     "simple_7class": simple_7class,
     "three_class_full": three_class_full,
@@ -169,8 +198,35 @@ PRESETS = {
     "debug": debug,
 }
 
+# EngineConfig overrides each preset implies — which host-side consumers its
+# reference script runs. Wrap presets use the px-ratio monitor, NOT the
+# mm-threshold window rules (the reference wrap scripts never call
+# make_decision); production runs windows + evidence dirs.
+ENGINE_HINTS = {
+    "two_stage": {},
+    "enhanced": {},
+    "high_res_roi": {},
+    "wrap_uniformity": dict(wrap_monitor_enabled=True, window_enabled=False),
+    "wrap_7class": dict(wrap_monitor_enabled=True, window_enabled=False),
+    "production": dict(window_enabled=True, evidence_dirs=True),
+    "video_full": dict(window_enabled=True, quality_enabled=True,
+                       event_detector_enabled=True),
+    "optimized": dict(window_enabled=True, quality_enabled=True,
+                      tracker_enabled=True),
+    "robust": dict(window_enabled=True),
+    "simple_7class": dict(window_enabled=True),
+    "three_class_full": dict(window_enabled=True),
+    "strict": dict(window_enabled=True),
+    "debug": dict(window_enabled=False),
+}
+
 
 def get_preset(name: str, **kwargs) -> PipelineCfg:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
     return PRESETS[name](**kwargs)
+
+
+def engine_hints(name: str) -> dict:
+    """EngineConfig field overrides implied by the preset's reference script."""
+    return dict(ENGINE_HINTS.get(name, {}))

@@ -37,6 +37,27 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+class QualityStats(NamedTuple):
+    """Per-frame quality-gate statistics (reference infer_video.py:73-118).
+    MAD is the within-batch frame diff; the first frame of each batch diffs
+    against itself (mad=0 — one lenient motion check per batch, documented)."""
+    lap_var: jnp.ndarray   # (B,) Laplacian variance (blur proxy)
+    gray_std: jnp.ndarray  # (B,) gray std (flat/glitch proxy)
+    mad: jnp.ndarray       # (B,) mean abs diff vs previous frame in batch
+
+
+class DefectComponents(NamedTuple):
+    """Fixed-size per-component defect table for the host DefectTracker
+    (reference infer_video_optimized.py:66-189). Fields are (B, K)."""
+    left: jnp.ndarray
+    top: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    area: jnp.ndarray
+    class_id: jnp.ndarray  # class at the component's root pixel
+    valid: jnp.ndarray
+
+
 class FrameOutputs(NamedTuple):
     """Per-frame results downloaded to host each batch (small)."""
     class_map: jnp.ndarray      # (B, H, W) uint8: 0 bg / 1 cable / 2 tape / 3 burr
@@ -44,15 +65,18 @@ class FrameOutputs(NamedTuple):
     tape_px: jnp.ndarray        # (B,) int32
     burr_px: jnp.ndarray        # (B,) int32
     diameters: Optional[_geo.DiameterMetrics]  # populated when geometry enabled
+    defects: Optional[_geo.DefectAnalysis] = None       # geometry.analyze_defects
+    defect_components: Optional[DefectComponents] = None  # inspect.track_defects
+    quality: Optional[QualityStats] = None              # inspect.quality_stats
 
 
 # ---------------------------------------------------------------------------
 # preprocess
 # ---------------------------------------------------------------------------
 
-def preprocess_frames(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
-    """uint8 BGR (B, H, W, 3) -> conditioned BGR float32 frame batch at the
-    pipeline working resolution (rotate / normalize / enhance)."""
+def geometric_preprocess(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
+    """uint8 BGR (B, H, W, 3) -> float32 BGR at the pipeline working
+    resolution (rotate / normalize only)."""
     if frames_bgr.ndim != 4 or frames_bgr.shape[-1] != 3:
         raise ValueError(
             f"expected (B, H, W, 3) BGR frames, got {frames_bgr.shape}")
@@ -62,9 +86,28 @@ def preprocess_frames(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     if cfg.preprocess.normalize_wh is not None:
         w, h = cfg.preprocess.normalize_wh
         x = _image.resize_bilinear(x, (h, w))
+    return x
+
+
+def preprocess_frames(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
+    """uint8 BGR (B, H, W, 3) -> conditioned BGR float32 frame batch at the
+    pipeline working resolution (rotate / normalize / enhance)."""
+    x = geometric_preprocess(frames_bgr, cfg)
     if cfg.preprocess.enhance:
         x = enhance_frames(x, cfg)
     return x
+
+
+def quality_stats(gray: jnp.ndarray) -> QualityStats:
+    """Device quality-gate statistics over a gray (B, H, W) batch
+    (reference infer_video.py:84-118: Laplacian variance, gray std, MAD)."""
+    lap = _edges.laplacian(gray)
+    prev = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
+    return QualityStats(
+        lap_var=jnp.var(lap, axis=(-2, -1)),
+        gray_std=jnp.std(gray, axis=(-2, -1)),
+        mad=jnp.mean(jnp.abs(gray - prev), axis=(-2, -1)),
+    )
 
 
 def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
@@ -323,8 +366,16 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
                  model: Any, cfg: PipelineCfg) -> FrameOutputs:
     """Full fused pipeline over a frame batch. Jit with
     `jax.jit(run_pipeline, static_argnums=(2, 3))` or via build_step()."""
-    frames = preprocess_frames(frames_bgr, cfg)
+    frames = geometric_preprocess(frames_bgr, cfg)
     B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+
+    quality = None
+    if cfg.inspect.quality_stats:
+        # on the un-enhanced frame, like the reference gate (infer_video.py:84)
+        quality = quality_stats(_color.bgr2gray(frames))
+
+    if cfg.preprocess.enhance:
+        frames = enhance_frames(frames, cfg)
 
     x = model_input(frames, cfg)
     logits = model.apply(variables, x, train=False)
@@ -380,14 +431,25 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
     class_map = jnp.where(tape, jnp.uint8(2), class_map)
     class_map = jnp.where(burr, jnp.uint8(3), class_map)
 
+    # full class map including defect classes (>=3) at frame resolution, for
+    # defect analysis/tracking on multi-class models (the flagship 3-class
+    # models have no defect classes — burr stands in as class 3)
+    pred_full = None
+    if cfg.segment.num_classes > 3 and (
+            cfg.geometry.analyze_defects or cfg.inspect.track_defects):
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        pred_full = _image.resize_nearest(pred, (H, W), channel_dim=False)
+
     diameters = None
     if cfg.geometry.enabled:
         g = cfg.geometry
+        mh, mw = cable_m.shape[-2:]
         if cfg.roi is None and not cfg.postprocess.enabled \
-                and not cfg.preprocess.letterbox:
+                and not cfg.preprocess.letterbox and H >= mh and W >= mw:
             # largest-CC denoise at MODEL resolution (partition-identical
-            # under nearest upscaling, min_area floor applied at frame scale)
-            # — full-frame CC labeling dominated the wrap presets otherwise
+            # under nearest UPscaling, min_area floor applied at frame scale)
+            # — full-frame CC labeling dominated the wrap presets otherwise.
+            # Downscaling can merge/drop components, so it falls through.
             cable_d = _geo.largest_component_lowres(cable_m, (H, W))
             tape_d = _geo.largest_component_lowres(tape_m, (H, W))
         else:
@@ -397,12 +459,48 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
             cable_d, tape_d, mm_per_px=g.mm_per_px,
             min_valid_rows=g.min_valid_rows, smooth_ksize=g.smooth_ksize)
 
+    defects = None
+    if cfg.geometry.analyze_defects:
+        # analyze on cable=1/tape=2 from the final masks + model defect
+        # classes where present (reference analyze_defects runs on pred_mask,
+        # geometry_enhanced.py:246-330)
+        analysis_map = jnp.zeros((B, H, W), jnp.uint8)
+        analysis_map = jnp.where(cable, jnp.uint8(1), analysis_map)
+        analysis_map = jnp.where(tape, jnp.uint8(2), analysis_map)
+        if pred_full is not None:
+            analysis_map = jnp.where(pred_full >= 3, pred_full, analysis_map)
+        defects = _geo.analyze_defects(
+            analysis_map, defect_classes=cfg.geometry.defect_classes,
+            hole_min_size=cfg.geometry.hole_min_size,
+            max_components=cfg.geometry.max_components)
+
+    defect_components = None
+    if cfg.inspect.track_defects:
+        if pred_full is not None:
+            defect_mask = pred_full >= 3
+            class_src = pred_full
+        else:
+            defect_mask = burr
+            class_src = jnp.where(burr, jnp.uint8(3), jnp.uint8(0))
+        labels = _cc.connected_components(defect_mask)
+        st = _cc.component_stats(labels, cfg.inspect.track_max_components)
+        # class at the component's ROOT pixel — the root linear index is by
+        # construction inside the component (unlike the centroid)
+        cls = jnp.take_along_axis(class_src.reshape(B, H * W),
+                                  st.label.astype(jnp.int32), axis=-1)
+        defect_components = DefectComponents(
+            left=st.left, top=st.top, width=st.width, height=st.height,
+            area=st.area, class_id=jnp.where(st.valid, cls, 0), valid=st.valid)
+
     return FrameOutputs(
         class_map=class_map,
         cable_px=jnp.sum(cable, axis=(-2, -1), dtype=jnp.int32),
         tape_px=jnp.sum(tape, axis=(-2, -1), dtype=jnp.int32),
         burr_px=jnp.sum(burr, axis=(-2, -1), dtype=jnp.int32),
         diameters=diameters,
+        defects=defects,
+        defect_components=defect_components,
+        quality=quality,
     )
 
 

@@ -80,6 +80,8 @@ def train_model(model, train_loader, val_loader, cfg: TrainRunCfg,
                            "image_files", None)
 
     epochs_run = 0
+    # defined even when the loop body never runs (resume past cfg.epochs)
+    miou, precision, recall, ious = best_miou, {}, {}, {}
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses, gnorms = [], []
@@ -104,7 +106,19 @@ def train_model(model, train_loader, val_loader, cfg: TrainRunCfg,
         gnorm = float(np.asarray(gnorms[-1])) if gnorms else 0.0
 
         cm = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+        val_batch = getattr(val_loader, "batch_size", None)
         for images, labels in val_loader:
+            # pad ragged final batches to the full batch so (a) the data-axis
+            # sharding stays divisible and (b) eval compiles once; padded
+            # pixels get label == num_classes, which the confusion-matrix
+            # scatter drops (JAX out-of-bounds scatter semantics)
+            if val_batch and len(images) < val_batch:
+                pad = val_batch - len(images)
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+                labels = np.concatenate(
+                    [labels, np.full((pad,) + labels.shape[1:], cfg.num_classes,
+                                     labels.dtype)], axis=0)
             im, lb = parallel.put_batch(mesh, images, labels, spatial)
             cm += np.asarray(eval_step(state, im, lb), np.int64)
         miou, precision, recall, ious = metrics_from_confusion(cm)
