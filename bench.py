@@ -97,10 +97,10 @@ def config1():
             "unit": "frames/sec", "vs_baseline": None}
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5])
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.config == 1:
         print(json.dumps(config1()))

@@ -89,3 +89,53 @@ def test_multistream_server():
     assert by_stream[0] == [1, 2, 3, 4, 5]
     assert by_stream[1] == [1, 2, 3]
     assert by_stream[2] == [1, 2, 3, 4]
+
+
+def test_multistream_fixed_slots_single_compile():
+    """Unequal stream lengths + a slow stream must not change the batch
+    shape (one jit compile) and every frame is processed exactly once
+    (VERDICT: fixed batch slots, non-blocking starvation policy)."""
+    import time as _time
+
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg
+    from unet_tpu.serve import MultiStreamServer
+
+    class FakeSource:
+        def __init__(self, sid, n, delay=0.0):
+            self.sid, self.n, self.delay = sid, n, delay
+
+        def frames(self):
+            rng = np.random.default_rng(self.sid)
+            for i in range(self.n):
+                if self.delay:
+                    _time.sleep(self.delay)
+                yield i + 1, (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(32, 32)))
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    server = MultiStreamServer(model, variables, cfg,
+                               starvation_timeout=0.005)
+    shapes = []
+    inner = server.step
+
+    def counting_step(v, batch):
+        shapes.append(tuple(batch.shape))
+        return inner(v, batch)
+
+    server.step = counting_step
+    results = []
+    summary = server.serve(
+        [FakeSource(0, 7), FakeSource(1, 2), FakeSource(2, 5, delay=0.03)],
+        results.append)
+    assert summary["frames"] == 14
+    # batch shape never changes -> the jitted step compiled exactly once
+    assert set(shapes) == {(3, 48, 64, 3)}
+    by_stream = {}
+    for r in results:
+        by_stream.setdefault(r.stream_id, []).append(r.frame_id)
+    assert by_stream[0] == list(range(1, 8))
+    assert by_stream[1] == [1, 2]
+    assert by_stream[2] == list(range(1, 6))  # slow stream loses no frames

@@ -102,6 +102,62 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def _arch_from_info(info: dict, default: str) -> str:
+    kind = info.get("kind")
+    if kind == "simple_unet":
+        return "simple_unet"
+    if kind == "nested_unet_resnet50":
+        return "nested_unet_resnet50"
+    return default
+
+
+def _load_model(args, fallback_classes: int):
+    """(model, variables, num_classes) from --model, or random weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_tpu.core.checkpoint import load_model_variables
+
+    if args.model:
+        variables, info = load_model_variables(args.model)
+        num_classes = int(info.get("num_classes", fallback_classes))
+        model = _build_model(num_classes, _arch_from_info(info, args.arch),
+                             args.dtype)
+        return model, variables, num_classes
+    print("warning: no --model given; using random weights (smoke mode)")
+    model = _build_model(fallback_classes, args.arch, args.dtype)
+    size = getattr(args, "image_size", None) or 512
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), train=False)
+    return model, variables, fallback_classes
+
+
+def cmd_evaluate(args) -> int:
+    """Dataset mIoU/precision/recall + confusion CSV/JSON
+    (reference tools/evaluate.py:22-114)."""
+    _ensure_backend()
+    import json as _json
+    import os
+
+    from unet_tpu.data.dataset import SegmentationDataset
+    from unet_tpu.tools import evaluate_dataset
+
+    model, variables, num_classes = _load_model(args, args.num_classes)
+    split_dir = os.path.join(args.data_root, args.split)
+    if not os.path.isdir(split_dir) and args.split == "test":
+        split_dir = os.path.join(args.data_root, "val")
+        print("note: no test split; evaluating on val")
+    ds = SegmentationDataset(os.path.join(split_dir, "images"),
+                             os.path.join(split_dir, "masks"),
+                             augment=False,
+                             target_size=(args.image_size, args.image_size))
+    result = evaluate_dataset(model, variables, ds, num_classes,
+                              batch_size=args.batch, output_dir=args.output)
+    result.pop("confusion", None)
+    print(_json.dumps(result, indent=2))
+    return 0
+
+
 def cmd_train(args) -> int:
     _ensure_backend()
     from unet_tpu.train.recipes import run_recipe
@@ -128,7 +184,7 @@ def cmd_export(args) -> int:
 def cmd_bench(args) -> int:
     import bench
 
-    bench.main()
+    bench.main(["--config", str(args.config)])
     return 0
 
 
@@ -168,6 +224,55 @@ def cmd_tools(args) -> int:
         T.save_roi_json(args.out or "roi.json", roi["x"], roi["y"],
                         roi["w"], roi["h"])
         print(f"proposed ROI: {roi}")
+    elif args.tool == "calibrate-scale":
+        # two points spanning a known distance -> mm/px
+        # (reference tools/calibrate_scale.py:17-52, headless)
+        import json as _json
+        vals = [float(v) for v in args.points.split(",")]
+        if len(vals) != 4:
+            raise SystemExit("--points must be x1,y1,x2,y2")
+        mm_per_px = T.scale_from_two_points(
+            (vals[0], vals[1]), (vals[2], vals[3]), args.known_mm)
+        out = {"mm_per_px": mm_per_px, "known_mm": args.known_mm}
+        print(_json.dumps(out))
+        if args.out:
+            from pathlib import Path
+            Path(args.out).write_text(_json.dumps(out, indent=2))
+    elif args.tool == "diagnose-mask":
+        # mask value-integrity report (reference tools/diagnose_mask.py)
+        import json as _json
+        import os
+
+        from unet_tpu.data.dataset import imread_mask
+        paths = ([os.path.join(args.mask_dir, f)
+                  for f in sorted(os.listdir(args.mask_dir))
+                  if f.lower().endswith(".png")]
+                 if args.mask_dir else [args.mask])
+        resized = (tuple(int(v) for v in args.resize.split(","))
+                   if args.resize else None)
+        report = {p: T.diagnose_mask(imread_mask(p), args.num_classes,
+                                     resized_hw=resized)
+                  for p in paths}
+        print(_json.dumps(report, indent=2, default=str))
+    elif args.tool == "update-dataset":
+        counts = T.update_dataset(args.images_dir, args.mask_dir, args.out,
+                                  val_ratio=args.val_ratio,
+                                  test_ratio=args.test_ratio, seed=args.seed)
+        print(f"split counts: {counts}")
+    elif args.tool == "render-masks":
+        n = T.render_masks(args.images_dir, args.mask_dir, args.out,
+                           limit=args.limit)
+        print(f"rendered {n} overlays to {args.out}")
+    elif args.tool == "render-predictions":
+        _ensure_backend()
+        from unet_tpu.tools import SingleImageInference
+        model, variables, num_classes = _load_model(args, args.num_classes)
+        inf = SingleImageInference(model, variables,
+                                   input_size=args.image_size or 512,
+                                   num_classes=num_classes)
+        n = T.render_predictions(inf, args.images_dir, args.mask_dir, args.out,
+                                 limit=args.limit)
+        print(f"rendered {n} comparison grids to {args.out}")
     else:
         raise SystemExit(f"unknown tool {args.tool!r}")
     return 0
@@ -233,15 +338,33 @@ def build_parser() -> argparse.ArgumentParser:
     pe.set_defaults(fn=cmd_export)
 
 
+    pv = sub.add_parser("evaluate", help="dataset mIoU + confusion CSV/JSON")
+    pv.add_argument("--model", default=None, help=".pth or orbax checkpoint dir")
+    pv.add_argument("--arch", default="nested_unet")
+    pv.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    pv.add_argument("--data-root", required=True,
+                    help="root with <split>/images + <split>/masks")
+    pv.add_argument("--split", default="test")
+    pv.add_argument("--num-classes", type=int, default=3)
+    pv.add_argument("--image-size", type=int, default=512)
+    pv.add_argument("--batch", type=int, default=8)
+    pv.add_argument("--output", default=None,
+                    help="dir for confusion_matrix.csv + metrics.json")
+    pv.set_defaults(fn=cmd_evaluate)
+
     pk = sub.add_parser("tools", help="dataset/calibration utilities")
     pk.add_argument("tool", choices=["extract-frames", "audit", "class-dist",
                                      "remap-masks", "prepare-dataset",
-                                     "hard-negatives", "calibrate-roi"])
+                                     "hard-negatives", "calibrate-roi",
+                                     "calibrate-scale", "diagnose-mask",
+                                     "update-dataset", "render-masks",
+                                     "render-predictions"])
     pk.add_argument("--video", default=None)
     pk.add_argument("--videos-dir", default=None)
     pk.add_argument("--labelme-dir", default=None)
     pk.add_argument("--images-dir", default=None)
     pk.add_argument("--mask-dir", default=None)
+    pk.add_argument("--mask", default=None, help="single mask png (diagnose-mask)")
     pk.add_argument("--out", default=None)
     pk.add_argument("--fps", type=float, default=5.0)
     pk.add_argument("--roi", default="")
@@ -249,9 +372,25 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--num-classes", type=int, default=7)
     pk.add_argument("--num-frames", type=int, default=200)
     pk.add_argument("--mapping", default="")
+    pk.add_argument("--points", default="",
+                    help="x1,y1,x2,y2 for calibrate-scale")
+    pk.add_argument("--known-mm", type=float, default=None,
+                    help="real distance between --points")
+    pk.add_argument("--resize", default=None,
+                    help="H,W to test nearest-resize value preservation")
+    pk.add_argument("--val-ratio", type=float, default=0.1)
+    pk.add_argument("--test-ratio", type=float, default=0.1)
+    pk.add_argument("--seed", type=int, default=42)
+    pk.add_argument("--limit", type=int, default=None)
+    pk.add_argument("--model", default=None)
+    pk.add_argument("--arch", default="nested_unet")
+    pk.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    pk.add_argument("--image-size", type=int, default=512)
     pk.set_defaults(fn=cmd_tools)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
+    pb.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5],
+                    help="BASELINE.json config number")
     pb.set_defaults(fn=cmd_bench)
     return p
 

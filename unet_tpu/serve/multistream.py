@@ -34,9 +34,15 @@ class StreamResult:
 
 
 class MultiStreamServer:
+    """Batch size is FIXED at len(sources) for the whole serve() call: slots
+    of exhausted or starved streams are padded with that stream's last frame
+    (zeros before its first) and their outputs discarded, so the jitted step
+    compiles exactly once. A starved stream delays its slot by at most
+    `starvation_timeout` seconds per batch; it never stalls the batch."""
+
     def __init__(self, model, variables, cfg: PipelineCfg,
                  mesh=None, return_class_map: bool = False,
-                 queue_depth: int = 8):
+                 queue_depth: int = 8, starvation_timeout: float = 0.02):
         self.variables = variables
         self.cfg = cfg
         self.return_class_map = return_class_map
@@ -49,6 +55,7 @@ class MultiStreamServer:
             step = stages.build_step(model, cfg)
         self.step = step
         self.queue_depth = queue_depth
+        self.starvation_timeout = starvation_timeout
         self._queues: List[queue.Queue] = []
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
@@ -76,42 +83,53 @@ class MultiStreamServer:
         for t in self._threads:
             t.start()
 
-        live = [True] * n
-        pending: List[Optional[tuple]] = [None] * n
+        live = [True] * n                              # reader still producing
+        pending: List[Optional[tuple]] = [None] * n    # fetched, unprocessed
+        last: List[Optional[np.ndarray]] = [None] * n  # pad for starved slots
         processed = 0
         batches = 0
         t0 = time.time()
-        while any(live):
-            # assemble one slot per live stream (repeat last frame if starved)
-            slots = []
-            metas = []
+        while True:
+            # fetch at most one frame per stream; a starved stream gets a
+            # bounded wait and is then padded, never blocking the batch
             for i in range(n):
-                if not live[i]:
+                if not live[i] or pending[i] is not None:
                     continue
-                if pending[i] is None:
-                    item = self._queues[i].get()
-                    if item is None:
-                        live[i] = False
-                        continue
+                try:
+                    item = self._queues[i].get(timeout=self.starvation_timeout)
+                except queue.Empty:
+                    continue
+                if item is None:
+                    live[i] = False
+                else:
                     pending[i] = item
-                fid, frame = pending[i]
-                pending[i] = None
-                slots.append(frame)
-                metas.append((i, fid))
-            if not slots:
-                break
+            fresh = [i for i in range(n) if pending[i] is not None]
+            if not fresh:
+                if not any(live):
+                    break
+                continue  # every live stream starved this round; retry
+            # fixed-size batch: slot i always belongs to stream i; non-fresh
+            # slots repeat the stream's last frame (zeros before its first)
+            template = pending[fresh[0]][1]
+            slots = [pending[i][1] if pending[i] is not None
+                     else (last[i] if last[i] is not None
+                           else np.zeros_like(template))
+                     for i in range(n)]
             batch = np.stack(slots)
             out = self.step(self.variables, jnp.asarray(batch))
             cable = np.asarray(out.cable_px)
             tape = np.asarray(out.tape_px)
             burr = np.asarray(out.burr_px)
             cmap = np.asarray(out.class_map) if self.return_class_map else None
-            for k, (sid, fid) in enumerate(metas):
+            for i in fresh:  # padded slots' outputs are masked out
+                fid, frame = pending[i]
                 on_result(StreamResult(
-                    stream_id=sid, frame_id=fid,
-                    cable_px=int(cable[k]), tape_px=int(tape[k]),
-                    burr_px=int(burr[k]),
-                    class_map=cmap[k] if cmap is not None else None))
+                    stream_id=i, frame_id=fid,
+                    cable_px=int(cable[i]), tape_px=int(tape[i]),
+                    burr_px=int(burr[i]),
+                    class_map=cmap[i] if cmap is not None else None))
+                last[i] = frame
+                pending[i] = None
                 processed += 1
             batches += 1
             if max_batches is not None and batches >= max_batches:
