@@ -75,11 +75,13 @@ def shard_eval_step(eval_step, mesh: Mesh, spatial: bool = True):
     )
 
 
-def shard_pipeline_step(step_fn, mesh: Mesh):
-    """Shard the fused inference pipeline over the data axis: multi-stream
-    batched serving (BASELINE config 5, batch >= 8 streams)."""
+def shard_pipeline_step(step_fn, mesh: Mesh, spatial: bool = False):
+    """Shard the fused inference pipeline over the data axis (multi-stream
+    batched serving, BASELINE config 5) and optionally the frame H axis
+    (`spatial=True`, the native-res path — GSPMD inserts conv halo
+    exchanges over ICI)."""
     rep = replicated(mesh)
-    frames_s = NamedSharding(mesh, P(DATA_AXIS))
+    frames_s = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS if spatial else None))
     return jax.jit(step_fn, in_shardings=(rep, frames_s))
 
 
