@@ -17,6 +17,11 @@ jax.config.update("jax_platforms", "cpu")
 # This JAX build's DEFAULT matmul/conv precision is reduced (bf16-style MXU
 # passes) even on CPU; parity tests against torch need full f32 accumulate.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the suite is compile-dominated (~15 min cold);
+# re-runs hit the disk cache instead.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("UNET_TPU_JAX_CACHE", "/tmp/unet_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 @pytest.fixture

@@ -16,8 +16,19 @@ from typing import Optional
 
 
 def _ensure_backend() -> None:
-    """Fall back to CPU when the accelerator plugin is absent/unhealthy."""
+    """Fall back to CPU when the accelerator plugin is absent/unhealthy, and
+    enable the persistent compilation cache (512^2 graphs compile in tens of
+    seconds cold; cached reloads are near-instant)."""
+    import os
+
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("UNET_TPU_JAX_CACHE",
+                                         "/tmp/unet_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimization, never a hard requirement
     try:
         jax.devices()
     except RuntimeError as e:
@@ -85,6 +96,13 @@ def cmd_infer(args) -> int:
         w, h = cfg.preprocess.model_size
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
                                train=False)
+
+    # phase-packed MXU forward: auto-on for the custom-encoder NestedUNet
+    # (the only arch it supports), unless the user forces it off
+    use_fast = {"auto": arch == "nested_unet", "on": True, "off": False}[args.fast]
+    if use_fast:
+        cfg = cfg.replace(segment=cfg.segment.__class__(
+            **{**cfg.segment.__dict__, "fast_forward": True}))
 
     hints = engine_hints(args.preset)
     if args.window is not None:
@@ -307,6 +325,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "default follows the preset")
     pi.add_argument("--turn-hz", type=float, default=None,
                     help="turn-rate frame sampling (reference infer_video.py)")
+    pi.add_argument("--fast", default="auto", choices=["auto", "on", "off"],
+                    help="phase-packed MXU forward (models/fast_forward.py)")
     pi.set_defaults(fn=cmd_infer)
 
     pt = sub.add_parser("train", help="training recipes (tools/train*.py family)")
@@ -389,8 +409,10 @@ def build_parser() -> argparse.ArgumentParser:
     pk.set_defaults(fn=cmd_tools)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
-    pb.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5],
-                    help="BASELINE.json config number")
+    pb.add_argument("--config", type=int, default=2,
+                    choices=[1, 2, 3, 4, 5, 6],
+                    help="BASELINE.json config number (6 = true end-to-end "
+                         "engine loop incl. decode/upload/overlay/write)")
     pb.set_defaults(fn=cmd_bench)
     return p
 

@@ -56,6 +56,9 @@ class SegmentCfg:
     num_classes: int = 3
     cable_cls: int = 1
     tape_cls: int = 2
+    # phase-packed MXU forward (models/fast_forward.py); custom-encoder
+    # NestedUNet only — equal outputs up to float reassociation
+    fast_forward: bool = False
     threshold_mode: str = "argmax"  # "argmax" | "per_class" | "exclusive"
     # per-class probability thresholds (infer_video_simple.py:82-154)
     class_thresholds: Tuple[float, ...] = ()

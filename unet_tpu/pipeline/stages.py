@@ -378,7 +378,16 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
         frames = enhance_frames(frames, cfg)
 
     x = model_input(frames, cfg)
-    logits = model.apply(variables, x, train=False)
+    if cfg.segment.fast_forward:
+        from unet_tpu.models import NestedUNet
+        from unet_tpu.models import fast_forward as _ff
+        if not (isinstance(model, NestedUNet) and not model.pretrained_encoder):
+            raise ValueError("segment.fast_forward requires a custom-encoder "
+                             "NestedUNet (models/fast_forward.py)")
+        logits = _ff.fast_apply(variables, x,
+                                dtype=getattr(model, "dtype", jnp.bfloat16))
+    else:
+        logits = model.apply(variables, x, train=False)
     if isinstance(logits, (list, tuple)):
         logits = logits[0]
     cable_m, tape_m = extract_masks(logits, cfg)
