@@ -1,0 +1,95 @@
+"""int8 quantized forward: calibration + accuracy on a trained model.
+
+Random-init logits sit near zero where argmax is tie-noise, so the accuracy
+gates run on a model first trained to mIoU > 0.9 on synthetic cable scenes
+(the overfit-gate recipe, reference tools/overfit_test.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import synthetic_cable_frame
+
+
+@pytest.fixture(scope="module")
+def trained():
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.train import LossCfg, OptimCfg, create_train_state
+    from unet_tpu.train.trainer import make_train_step
+
+    imgs, masks = zip(*[synthetic_cable_frame(h=64, w=64, cable_x=(26, 38),
+                                              tape_y=(20, 44), seed=s)
+                        for s in range(8)])
+    images = np.stack(imgs).astype(np.float32) / 255.0
+    labels = np.stack(masks).astype(np.int32)
+
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3),
+                               OptimCfg(lr=3e-3, schedule="constant",
+                                        total_steps=120, clip_norm=10.0))
+    step = jax.jit(make_train_step(LossCfg(kind="ce")))
+    for _ in range(120):
+        state, _ = step(state, images, labels)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # sanity: the float model actually learned the task
+    logits = model.apply(variables, images, train=False)
+    pred = np.asarray(jnp.argmax(logits, -1))
+    acc = (pred == labels).mean()
+    assert acc > 0.97, f"float model failed to train (acc={acc:.3f})"
+    return model, variables, images, labels
+
+
+def test_calibrate_and_int8_accuracy(trained):
+    from unet_tpu.models.quantized import calibrate, int8_apply
+    model, variables, images, labels = trained
+
+    scales = calibrate(variables, [images[:4], images[4:]])
+    names = {k for k, _ in scales}
+    assert "input" in names and "conv0_4.relu2" in names
+    assert len(names) == 19  # input + 2 taps x 9 blocks
+    assert all(s > 0 for _, s in scales)
+
+    ref = np.asarray(jnp.argmax(
+        model.apply(variables, jnp.asarray(images), train=False), -1))
+    q = np.asarray(jnp.argmax(
+        int8_apply(variables, jnp.asarray(images), scales), -1))
+    agree = (q == ref).mean()
+    assert agree > 0.97, f"int8 disagrees with float on {1-agree:.2%} of pixels"
+    # and still solves the task
+    assert (q == labels).mean() > 0.95
+
+
+def test_int8_unpacked_variant(trained):
+    """pack_max_cout=0 exercises the plain-conv int8 path + conv head."""
+    from unet_tpu.models.quantized import (calibrate,
+                                           nested_unet_forward_int8,
+                                           prepare_int8_params)
+    model, variables, images, labels = trained
+    scales = calibrate(variables, [images])
+    qp = prepare_int8_params(variables, scales, pack_max_cout=0)
+    assert not any(l.packed for pair in qp.blocks.values() for l in pair)
+    q = np.asarray(jnp.argmax(
+        nested_unet_forward_int8(qp, jnp.asarray(images)), -1))
+    ref = np.asarray(jnp.argmax(
+        model.apply(variables, jnp.asarray(images), train=False), -1))
+    assert (q == ref).mean() > 0.97
+
+
+def test_pipeline_int8_calibrated(trained):
+    """calibrate_int8 -> build_step runs the int8 path inside the fused
+    pipeline and agrees with the float pipeline."""
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg, stages
+    model, variables, images, labels = trained
+    frames = np.stack([synthetic_cable_frame(h=96, w=128, seed=100 + s)[0]
+                       for s in range(4)])
+
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(64, 64)))
+    qcfg = stages.calibrate_int8(model, variables, cfg, [frames])
+    assert qcfg.segment.int8_scales and hash(qcfg) is not None
+
+    ref = stages.build_step(model, cfg)(variables, frames)
+    out = stages.build_step(model, qcfg)(variables, frames)
+    agree = (np.asarray(out.class_map) == np.asarray(ref.class_map)).mean()
+    assert agree > 0.95, f"pipeline int8 class-map agreement {agree:.3f}"

@@ -59,6 +59,9 @@ class SegmentCfg:
     # phase-packed MXU forward (models/fast_forward.py); custom-encoder
     # NestedUNet only — equal outputs up to float reassociation
     fast_forward: bool = False
+    # int8 quantized forward (models/quantized.py): calibrated (tap, scale)
+    # pairs from pipeline.stages.calibrate_int8; empty = stay bf16/f32
+    int8_scales: Tuple[Tuple[str, float], ...] = ()
     threshold_mode: str = "argmax"  # "argmax" | "per_class" | "exclusive"
     # per-class probability thresholds (infer_video_simple.py:82-154)
     class_thresholds: Tuple[float, ...] = ()

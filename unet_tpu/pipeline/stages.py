@@ -378,14 +378,19 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
         frames = enhance_frames(frames, cfg)
 
     x = model_input(frames, cfg)
-    if cfg.segment.fast_forward:
+    if cfg.segment.fast_forward or cfg.segment.int8_scales:
         from unet_tpu.models import NestedUNet
         from unet_tpu.models import fast_forward as _ff
         if not (isinstance(model, NestedUNet) and not model.pretrained_encoder):
-            raise ValueError("segment.fast_forward requires a custom-encoder "
-                             "NestedUNet (models/fast_forward.py)")
-        logits = _ff.fast_apply(variables, x,
-                                dtype=getattr(model, "dtype", jnp.bfloat16))
+            raise ValueError("segment.fast_forward/int8_scales require a "
+                             "custom-encoder NestedUNet (models/fast_forward)")
+        if cfg.segment.int8_scales:
+            from unet_tpu.models import quantized as _q
+            logits = _q.int8_apply(variables, x, cfg.segment.int8_scales,
+                                   dtype=getattr(model, "dtype", jnp.bfloat16))
+        else:
+            logits = _ff.fast_apply(variables, x,
+                                    dtype=getattr(model, "dtype", jnp.bfloat16))
     else:
         logits = model.apply(variables, x, train=False)
     if isinstance(logits, (list, tuple)):
@@ -516,3 +521,20 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
 def build_step(model: Any, cfg: PipelineCfg):
     """Returns jitted fn(variables, frames_u8_bgr) -> FrameOutputs."""
     return jax.jit(partial(run_pipeline, model=model, cfg=cfg))
+
+
+def calibrate_int8(model: Any, variables: Dict[str, Any], cfg: PipelineCfg,
+                   frame_batches) -> PipelineCfg:
+    """Post-training int8 calibration on representative frames: runs the
+    pipeline's preprocessing + a float fast-forward observing activation
+    ranges, and returns cfg with `segment.int8_scales` filled so build_step
+    compiles the int8 path (models/quantized.py)."""
+    from unet_tpu.models import quantized as _q
+
+    pre = jax.jit(lambda f: model_input(
+        enhance_frames(geometric_preprocess(f, cfg), cfg)
+        if cfg.preprocess.enhance else geometric_preprocess(f, cfg), cfg))
+    scales = _q.calibrate(variables,
+                          (pre(jnp.asarray(b)) for b in frame_batches))
+    return cfg.replace(segment=cfg.segment.__class__(
+        **{**cfg.segment.__dict__, "int8_scales": scales}))
