@@ -61,8 +61,7 @@ def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32),
 
     cfg = get_preset(cfg_name, **preset_kwargs)
     if fast:  # phase-packed MXU forward (models/fast_forward.py)
-        cfg = cfg.replace(segment=cfg.segment.__class__(
-            **{**cfg.segment.__dict__, "fast_forward": True}))
+        cfg = cfg.replace_in("segment", fast_forward=True)
     model = NestedUNet(num_classes=cfg.segment.num_classes,
                        deep_supervision=True, dtype=jnp.bfloat16)
     w, h = cfg.preprocess.model_size
@@ -127,8 +126,7 @@ def config6():
     wr.release()
 
     cfg = get_preset("two_stage")
-    cfg = cfg.replace(segment=cfg.segment.__class__(
-        **{**cfg.segment.__dict__, "fast_forward": True}))
+    cfg = cfg.replace_in("segment", fast_forward=True)
     model = NestedUNet(num_classes=3, deep_supervision=True, dtype=jnp.bfloat16)
     w, h = cfg.preprocess.model_size
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),

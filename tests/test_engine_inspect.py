@@ -243,6 +243,55 @@ def test_window_mode_rotate90_overlay(tmp_path):
     assert im.shape[:2] == (128, 96)  # rotated working resolution
 
 
+def test_cross_video_state_reset(frames_dir, tmp_path):
+    """Stateful per-video components (event detector cooldowns, defect
+    tracker ages) must reset between process_video calls — frame ids restart
+    with every video, so stale frame-indexed state from video A would
+    suppress/corrupt video B."""
+    from unet_tpu.inspect import EventConfig
+    from unet_tpu.pipeline import (EngineConfig, GeometryCfg, InferenceEngine,
+                                   InspectCfg, SegmentCfg)
+
+    mask = solid_mask()
+    mask[10:20, 40:52] = 4
+    cfg = _cfg(segment=SegmentCfg(num_classes=7),
+               geometry=GeometryCfg(enabled=True, analyze_defects=True),
+               inspect=InspectCfg(track_defects=True))
+    eng = InferenceEngine(StubModel(mask, 7), {}, cfg, EngineConfig(
+        batch=4, output_dir=str(tmp_path), write_video=False,
+        event_detector_enabled=True,
+        event_cfg=EventConfig(ratio_max=1.5, thick_wrap_frames=3,
+                              cooldown_frames=5),
+        tracker_enabled=True, tracker_confirm_frames=3, print_interval=100))
+    first = eng.process_video(frames_dir)
+    second = eng.process_video(frames_dir)
+    assert second["detector_events"] == first["detector_events"] > 0
+    assert second["confirmed_defects"] == first["confirmed_defects"] > 0
+    rows = list(csv.DictReader(open(tmp_path / "confirmed_defects.csv")))
+    assert int(rows[0]["start_frame"]) <= 4  # track started in THIS video
+
+
+def test_evidence_overlays_have_no_hud(frames_dir, tmp_path):
+    """Evidence-dir overlays and event images must be clean overlays — the
+    frame-id/FPS HUD belongs only to result.mp4 (the HUD was drawn in place
+    on the shared vis array)."""
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine
+
+    outs = {}
+    for key, write_video in (("video", True), ("clean", False)):
+        eng = InferenceEngine(StubModel(holey_tape_mask(), 3), {}, _cfg(),
+                              EngineConfig(
+            batch=4, output_dir=str(tmp_path / key), write_video=write_video,
+            window_enabled=True, window_min_frames=3, window_max_frames=4,
+            evidence_dirs=True, print_interval=100))
+        eng.process_video(frames_dir)
+        outs[key] = {p.relative_to(tmp_path / key): p.read_bytes()
+                     for p in (tmp_path / key).rglob("overlay_*.jpg")}
+    assert outs["video"] and outs["video"].keys() == outs["clean"].keys()
+    # HUD never drawn => overlays identical whether or not a video is written
+    assert all(outs["video"][k] == outs["clean"][k] for k in outs["video"])
+
+
 def test_stages_quality_and_components():
     """Device-side quality stats + defect component tables vs numpy."""
     import jax.numpy as jnp
@@ -269,6 +318,16 @@ def test_stages_quality_and_components():
     assert np.asarray(q.mad)[0] == pytest.approx(0.0, abs=1e-3)  # first=self
     assert np.asarray(q.mad)[1] == pytest.approx(
         np.abs(gray[1] - gray[0]).mean(), rel=0.01)
+
+    # cross-batch motion: passing the previous batch's last frame makes
+    # frame 0's MAD a real diff instead of the self-diff blind spot
+    prev = rng.uniform(0, 255, (1, 128, 128, 3)).astype(np.uint8)
+    out2 = stages.run_pipeline({}, jnp.asarray(frames), model, cfg,
+                               prev_frame_bgr=jnp.asarray(prev))
+    prev_gray = (0.114 * prev[0, ..., 0] + 0.587 * prev[0, ..., 1]
+                 + 0.299 * prev[0, ..., 2])
+    assert np.asarray(out2.quality.mad)[0] == pytest.approx(
+        np.abs(gray[0] - prev_gray).mean(), rel=0.01)
 
     dcomp = out.defect_components
     valid = np.asarray(dcomp.valid)[0]

@@ -95,10 +95,8 @@ def test_pipeline_fast_forward_flag(model_and_vars, rng):
     frames = (rng.random((2, 96, 128, 3)) * 255).astype(np.uint8)
     base = PipelineCfg(preprocess=PreprocessCfg(model_size=(64, 64)))
     slow = stages.build_step(model, base)(variables, frames)
-    fast = stages.build_step(model, base.replace(
-        segment=base.segment.__class__(
-            **{**base.segment.__dict__, "fast_forward": True})))(
-        variables, frames)
+    fast = stages.build_step(
+        model, base.replace_in("segment", fast_forward=True))(variables, frames)
     agree = (np.asarray(fast.class_map) == np.asarray(slow.class_map)).mean()
     assert agree > 0.995
 
@@ -109,8 +107,7 @@ def test_fast_forward_rejects_resnet50():
     model = NestedUNet(num_classes=3, deep_supervision=True,
                        pretrained_encoder=True)
     cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(64, 64)))
-    cfg = cfg.replace(segment=cfg.segment.__class__(
-        **{**cfg.segment.__dict__, "fast_forward": True}))
+    cfg = cfg.replace_in("segment", fast_forward=True)
     with pytest.raises(ValueError, match="fast_forward"):
         stages.run_pipeline({}, jnp.zeros((1, 64, 64, 3), jnp.uint8),
                             model=model, cfg=cfg)

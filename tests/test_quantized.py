@@ -77,6 +77,25 @@ def test_int8_unpacked_variant(trained):
     assert (q == ref).mean() > 0.97
 
 
+@pytest.mark.parametrize("pack_max_cout", [128, 512])
+def test_int8_wide_packing(trained, pack_max_cout):
+    """pack_max_cout > 64 packs mid/deep layers whose block output is
+    consumed unpacked — regression for the topology dispatching pool/unpack
+    on the layer flag instead of the tensor's actual layout."""
+    from unet_tpu.models.quantized import (calibrate,
+                                           nested_unet_forward_int8,
+                                           prepare_int8_params)
+    model, variables, images, labels = trained
+    scales = calibrate(variables, [images])
+    qp = prepare_int8_params(variables, scales, pack_max_cout=pack_max_cout)
+    assert qp.blocks["conv2_0"][1].packed  # the layer the bug crashed on
+    q = np.asarray(jnp.argmax(
+        nested_unet_forward_int8(qp, jnp.asarray(images)), -1))
+    ref = np.asarray(jnp.argmax(
+        model.apply(variables, jnp.asarray(images), train=False), -1))
+    assert (q == ref).mean() > 0.97
+
+
 def test_pipeline_int8_calibrated(trained):
     """calibrate_int8 -> build_step runs the int8 path inside the fused
     pipeline and agrees with the float pipeline."""

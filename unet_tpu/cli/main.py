@@ -57,10 +57,6 @@ def _build_model(num_classes: int, arch: str, dtype_str: str):
 
 def cmd_infer(args) -> int:
     _ensure_backend()
-    import jax
-    import jax.numpy as jnp
-
-    from unet_tpu.core.checkpoint import load_model_variables
     from unet_tpu.pipeline import (EngineConfig, InferenceEngine, engine_hints,
                                    get_preset)
     from unet_tpu.inspect import ThresholdConfig
@@ -71,45 +67,28 @@ def cmd_infer(args) -> int:
                              rotate=args.rotate, normalize=args.normalize_resolution)
     cfg = get_preset(args.preset, **preset_kwargs)
     if args.model_size:
-        cfg = cfg.replace(preprocess=cfg.preprocess.__class__(
-            **{**cfg.preprocess.__dict__,
-               "model_size": (args.model_size, args.model_size)}))
+        cfg = cfg.replace_in(
+            "preprocess", model_size=(args.model_size, args.model_size))
 
-    num_classes = cfg.segment.num_classes
-    arch = args.arch
-    if args.model:
-        variables, info = load_model_variables(args.model)
-        if "num_classes" in info and info["num_classes"] != num_classes:
-            print(f"note: checkpoint has {info['num_classes']} classes; "
-                  f"overriding preset's {num_classes}")
-            num_classes = info["num_classes"]
-            cfg = cfg.replace(segment=cfg.segment.__class__(
-                **{**cfg.segment.__dict__, "num_classes": num_classes}))
-        if info.get("kind") == "simple_unet":
-            arch = "simple_unet"
-        elif info.get("kind") == "nested_unet_resnet50":
-            arch = "nested_unet_resnet50"
-        model = _build_model(num_classes, arch, args.dtype)
-    else:
-        print("warning: no --model given; using random weights (smoke mode)")
-        model = _build_model(num_classes, arch, args.dtype)
-        w, h = cfg.preprocess.model_size
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
-                               train=False)
+    w, h = cfg.preprocess.model_size
+    model, variables, num_classes, arch = _load_model(
+        args, cfg.segment.num_classes, init_hw=(h, w))
+    if num_classes != cfg.segment.num_classes:
+        print(f"note: checkpoint has {num_classes} classes; "
+              f"overriding preset's {cfg.segment.num_classes}")
+        cfg = cfg.replace_in("segment", num_classes=num_classes)
 
     # phase-packed MXU forward: auto-on for the custom-encoder NestedUNet
     # (the only arch it supports), unless the user forces it off
     use_fast = {"auto": arch == "nested_unet", "on": True, "off": False}[args.fast]
     if use_fast:
-        cfg = cfg.replace(segment=cfg.segment.__class__(
-            **{**cfg.segment.__dict__, "fast_forward": True}))
+        cfg = cfg.replace_in("segment", fast_forward=True)
 
     hints = engine_hints(args.preset)
     if args.window is not None:
         hints["window_enabled"] = bool(args.window)
     if hints.get("window_enabled") and not cfg.geometry.enabled:
-        cfg = cfg.replace(geometry=cfg.geometry.__class__(
-            **{**cfg.geometry.__dict__, "enabled": True}))
+        cfg = cfg.replace_in("geometry", enabled=True)
     ecfg = EngineConfig(
         batch=args.batch, frame_stride=args.frame_stride,
         turn_hz=args.turn_hz,
@@ -129,8 +108,9 @@ def _arch_from_info(info: dict, default: str) -> str:
     return default
 
 
-def _load_model(args, fallback_classes: int):
-    """(model, variables, num_classes) from --model, or random weights."""
+def _load_model(args, fallback_classes: int, init_hw=None):
+    """(model, variables, num_classes, arch) from --model, or random
+    weights (smoke mode) initialized at `init_hw` (default --image-size)."""
     import jax
     import jax.numpy as jnp
 
@@ -139,15 +119,17 @@ def _load_model(args, fallback_classes: int):
     if args.model:
         variables, info = load_model_variables(args.model)
         num_classes = int(info.get("num_classes", fallback_classes))
-        model = _build_model(num_classes, _arch_from_info(info, args.arch),
-                             args.dtype)
-        return model, variables, num_classes
+        arch = _arch_from_info(info, args.arch)
+        return (_build_model(num_classes, arch, args.dtype), variables,
+                num_classes, arch)
     print("warning: no --model given; using random weights (smoke mode)")
     model = _build_model(fallback_classes, args.arch, args.dtype)
-    size = getattr(args, "image_size", None) or 512
+    if init_hw is None:
+        size = getattr(args, "image_size", None) or 512
+        init_hw = (size, size)
     variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, size, size, 3)), train=False)
-    return model, variables, fallback_classes
+                           jnp.zeros((1,) + tuple(init_hw) + (3,)), train=False)
+    return model, variables, fallback_classes, args.arch
 
 
 def cmd_evaluate(args) -> int:
@@ -160,7 +142,7 @@ def cmd_evaluate(args) -> int:
     from unet_tpu.data.dataset import SegmentationDataset
     from unet_tpu.tools import evaluate_dataset
 
-    model, variables, num_classes = _load_model(args, args.num_classes)
+    model, variables, num_classes, _ = _load_model(args, args.num_classes)
     split_dir = os.path.join(args.data_root, args.split)
     if not os.path.isdir(split_dir) and args.split == "test":
         split_dir = os.path.join(args.data_root, "val")
@@ -207,8 +189,32 @@ def cmd_bench(args) -> int:
 
 
 
+# per-tool required flags (shared optional subparser flags -> argparse can't
+# enforce them); entries are flag names, tuples mean "at least one of"
+_TOOL_REQUIRES = {
+    "extract-frames": ["video", "out"],
+    "audit": ["labelme_dir"],
+    "class-dist": ["mask_dir"],
+    "remap-masks": ["mask_dir", "out", "mapping"],
+    "prepare-dataset": ["labelme_dir", "images_dir", "out"],
+    "hard-negatives": ["videos_dir", "out"],
+    "calibrate-roi": ["video"],
+    "calibrate-scale": ["points", "known_mm"],
+    "diagnose-mask": [("mask", "mask_dir")],
+    "update-dataset": ["images_dir", "mask_dir", "out"],
+    "render-masks": ["images_dir", "mask_dir", "out"],
+    "render-predictions": ["images_dir", "out"],
+}
+
+
 def cmd_tools(args) -> int:
     from unet_tpu import tools as T
+
+    for req in _TOOL_REQUIRES.get(args.tool, []):
+        names = req if isinstance(req, tuple) else (req,)
+        if not any(getattr(args, n, None) for n in names):
+            opts = " or ".join("--" + n.replace("_", "-") for n in names)
+            raise SystemExit(f"tools {args.tool}: {opts} is required")
 
     if args.tool == "extract-frames":
         roi = tuple(map(int, args.roi.split(","))) if args.roi else None
@@ -284,7 +290,7 @@ def cmd_tools(args) -> int:
     elif args.tool == "render-predictions":
         _ensure_backend()
         from unet_tpu.tools import SingleImageInference
-        model, variables, num_classes = _load_model(args, args.num_classes)
+        model, variables, num_classes, _ = _load_model(args, args.num_classes)
         inf = SingleImageInference(model, variables,
                                    input_size=args.image_size or 512,
                                    num_classes=num_classes)

@@ -154,3 +154,9 @@ class PipelineCfg:
 
     def replace(self, **kw) -> "PipelineCfg":
         return dataclasses.replace(self, **kw)
+
+    def replace_in(self, section: str, **kw) -> "PipelineCfg":
+        """Replace fields of one sub-config:
+        cfg.replace_in('segment', fast_forward=True)."""
+        return dataclasses.replace(self, **{
+            section: dataclasses.replace(getattr(self, section), **kw)})

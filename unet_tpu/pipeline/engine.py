@@ -112,14 +112,21 @@ class InferenceEngine:
         if self.quality_gate is not None and not cfg.inspect.quality_stats:
             raise ValueError("quality_enabled requires cfg.inspect.quality_stats "
                              "(the gate's statistics come from the device step)")
-        self.event_detector: Optional[EventDetector] = (
-            EventDetector(e.event_cfg) if e.event_detector_enabled else None)
-        self.tracker: Optional[DefectTracker] = (
-            DefectTracker(e.tracker_confirm_frames, e.tracker_iou,
-                          e.tracker_stale_frames, CLASS_NAMES)
-            if e.tracker_enabled else None)
-        if self.tracker is not None and not cfg.inspect.track_defects:
+        if e.tracker_enabled and not cfg.inspect.track_defects:
             raise ValueError("tracker_enabled requires cfg.inspect.track_defects")
+        # event detector + tracker carry frame-indexed state (cooldown
+        # counters, track ages) and are rebuilt per process_video call —
+        # frame ids restart with every video
+        self.event_detector: Optional[EventDetector] = None
+        self.tracker: Optional[DefectTracker] = None
+
+    def _reset_per_video(self) -> None:
+        e = self.ecfg
+        self.event_detector = (EventDetector(e.event_cfg)
+                               if e.event_detector_enabled else None)
+        self.tracker = (DefectTracker(e.tracker_confirm_frames, e.tracker_iou,
+                                      e.tracker_stale_frames, CLASS_NAMES)
+                        if e.tracker_enabled else None)
 
     def _host_preprocess(self, frame: np.ndarray, hw) -> np.ndarray:
         """Mirror the device-side geometric preprocess (rotate/normalize) on
@@ -182,6 +189,10 @@ class InferenceEngine:
         comps = (None if out.defect_components is None else
                  {f: np.asarray(getattr(out.defect_components, f))
                   for f in out.defect_components._fields})
+        dc_all = dt_all = None
+        if out.diameters is not None:
+            dc_all = np.asarray(out.diameters.dc_px)
+            dt_all = np.asarray(out.diameters.dt_px)
         h, w = class_map.shape[-2:]
 
         roi = None
@@ -219,9 +230,8 @@ class InferenceEngine:
                                       f"{burr_ratio:.2f}", int(burr_px[i]), status])
 
             dc_px = dt_px = None
-            if out.diameters is not None:
-                dc_px = float(np.asarray(out.diameters.dc_px)[i])
-                dt_px = float(np.asarray(out.diameters.dt_px)[i])
+            if dc_all is not None:
+                dc_px, dt_px = float(dc_all[i]), float(dt_all[i])
 
             if state["wrap_monitor"] is not None and dc_px is not None:
                 r = state["wrap_monitor"].update(fid, dc_px, dt_px)
@@ -262,12 +272,16 @@ class InferenceEngine:
             if state["writer"] is not None:
                 elapsed = time.time() - state["t0"]
                 fps_now = state["processed"] / elapsed if elapsed > 0 else 0.0
-                draw_hud(vis, [
+                # HUD goes on a copy: `vis` is reused for evidence dirs and
+                # event images, which must stay clean overlays (reference
+                # infer_video_production.py evidence frames carry no HUD)
+                hud = vis.copy()
+                draw_hud(hud, [
                     f"Frame: {fid} | FPS: {fps_now:.1f}",
                     f"{status} Cable:{cable_ratio:.1f}% Tape:{tape_ratio:.1f}% "
                     f"Burr:{burr_ratio:.1f}%",
                 ])
-                state["writer"].write(vis)
+                state["writer"].write(hud)
 
             if state["aggregator"] is not None and out.diameters is not None:
                 state["aggregator"].add_frame(FrameResult.from_device(
@@ -293,6 +307,7 @@ class InferenceEngine:
 
     def process_video(self, video_path: str, max_frames: Optional[int] = None
                       ) -> Dict[str, Any]:
+        self._reset_per_video()
         if Path(video_path).is_dir():
             source = ImageDirReader(video_path, max_frames)
         else:
@@ -331,8 +346,18 @@ class InferenceEngine:
 
         import jax.numpy as jnp
         in_flight: deque = deque()
+        prev_last: Optional[np.ndarray] = None
         for ids, frames, n_valid in source.batches(self.ecfg.batch):
-            out = self.step(self.variables, jnp.asarray(frames))
+            if self.cfg.inspect.quality_stats:
+                # previous batch's last frame -> cross-batch motion diff
+                # (first batch diffs frame 0 against itself, like the
+                # reference's first frame, infer_video.py:101-104)
+                prev = frames[:1] if prev_last is None else prev_last
+                out = self.step(self.variables, jnp.asarray(frames),
+                                prev_frame_bgr=jnp.asarray(prev))
+                prev_last = frames[n_valid - 1:n_valid].copy()
+            else:
+                out = self.step(self.variables, jnp.asarray(frames))
             in_flight.append((ids, frames, n_valid, out))
             if len(in_flight) > self.ecfg.max_in_flight:
                 self._consume(*in_flight.popleft(), state)

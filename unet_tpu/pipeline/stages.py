@@ -98,16 +98,15 @@ def preprocess_frames(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     return x
 
 
-def quality_stats(gray: jnp.ndarray) -> QualityStats:
+def quality_stats(gray: jnp.ndarray,
+                  prev_gray: Optional[jnp.ndarray] = None) -> QualityStats:
     """Device quality-gate statistics over a gray (B, H, W) batch
-    (reference infer_video.py:84-118: Laplacian variance, gray std, MAD)."""
-    lap = _edges.laplacian(gray)
-    prev = jnp.concatenate([gray[:1], gray[:-1]], axis=0)
-    return QualityStats(
-        lap_var=jnp.var(lap, axis=(-2, -1)),
-        gray_std=jnp.std(gray, axis=(-2, -1)),
-        mad=jnp.mean(jnp.abs(gray - prev), axis=(-2, -1)),
-    )
+    (reference infer_video.py:84-118: Laplacian variance, gray std, MAD).
+    Thin typed wrapper over inspect.detectors.quality_stats; pass the
+    previous batch's last gray frame as `prev_gray` so frame 0's motion
+    diff crosses the batch boundary instead of diffing against itself."""
+    from unet_tpu.inspect.detectors import quality_stats as _qs
+    return QualityStats(*_qs(gray, prev_gray))
 
 
 def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
@@ -363,16 +362,23 @@ def constrain_tape_to_ring(tape: jnp.ndarray, cable: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
-                 model: Any, cfg: PipelineCfg) -> FrameOutputs:
+                 model: Any, cfg: PipelineCfg,
+                 prev_frame_bgr: Optional[jnp.ndarray] = None) -> FrameOutputs:
     """Full fused pipeline over a frame batch. Jit with
-    `jax.jit(run_pipeline, static_argnums=(2, 3))` or via build_step()."""
+    `jax.jit(run_pipeline, static_argnums=(2, 3))` or via build_step().
+    `prev_frame_bgr` (1, H, W, 3): the previous batch's last frame, used
+    only for the quality gate's cross-batch motion diff."""
     frames = geometric_preprocess(frames_bgr, cfg)
     B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
 
     quality = None
     if cfg.inspect.quality_stats:
         # on the un-enhanced frame, like the reference gate (infer_video.py:84)
-        quality = quality_stats(_color.bgr2gray(frames))
+        prev_gray = None
+        if prev_frame_bgr is not None:
+            prev_gray = _color.bgr2gray(
+                geometric_preprocess(prev_frame_bgr, cfg))[0]
+        quality = quality_stats(_color.bgr2gray(frames), prev_gray)
 
     if cfg.preprocess.enhance:
         frames = enhance_frames(frames, cfg)
@@ -536,5 +542,4 @@ def calibrate_int8(model: Any, variables: Dict[str, Any], cfg: PipelineCfg,
         if cfg.preprocess.enhance else geometric_preprocess(f, cfg), cfg))
     scales = _q.calibrate(variables,
                           (pre(jnp.asarray(b)) for b in frame_batches))
-    return cfg.replace(segment=cfg.segment.__class__(
-        **{**cfg.segment.__dict__, "int8_scales": scales}))
+    return cfg.replace_in("segment", int8_scales=scales)

@@ -69,8 +69,7 @@ class InspectionSystem:
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, config.input_size, config.input_size, 3)), train=False)
         model = _build_model(num_classes, config.arch, "bfloat16")
-        cfg = cfg.replace(segment=cfg.segment.__class__(
-            **{**cfg.segment.__dict__, "num_classes": num_classes}))
+        cfg = cfg.replace_in("segment", num_classes=num_classes)
 
         thr = ThresholdConfig(**config.thresholds) if config.thresholds else ThresholdConfig()
         self.engine = InferenceEngine(model, variables, cfg, EngineConfig(
