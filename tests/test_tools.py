@@ -271,3 +271,56 @@ def test_cli_bench_config_passthrough(monkeypatch):
     monkeypatch.setattr(bench, "main", lambda argv=None: seen.update(argv=argv))
     rc = _cli(["bench", "--config", "4"])
     assert rc == 0 and seen["argv"] == ["--config", "4"]
+
+
+def test_cli_annotate_roundtrip(tmp_path, rng, capsys):
+    """Headless annotate -> burr_annotations.json (reference
+    tools/annotate_burr.py schema) -> labelme JSONs -> rasterized mask."""
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "f_000.png"),
+                (rng.random((64, 96, 3)) * 255).astype(np.uint8))
+
+    ann_dir = str(tmp_path / "ann")
+    rc = _cli(["tools", "annotate", "--out", ann_dir, "--frame-id", "0",
+               "--filename", "f_000.png", "--box", "10,12,40,30",
+               "--box", "50,5,55,8"])  # second box too small -> dropped
+    assert rc == 0
+    rc = _cli(["tools", "annotate", "--out", ann_dir, "--frame-id", "0",
+               "--filename", "f_000.png", "--box", "60,20,80,40"])
+    assert rc == 0
+    ann = json.loads((tmp_path / "ann" / "burr_annotations.json").read_text())
+    assert ann["0"]["burr_regions"] == [[10, 12, 40, 30], [60, 20, 80, 40]]
+
+    out_lm = str(tmp_path / "labelme")
+    rc = _cli(["tools", "annotate-to-labelme", "--annotations-dir", ann_dir,
+               "--images-dir", str(img_dir), "--out", out_lm])
+    assert rc == 0
+    doc = json.loads((tmp_path / "labelme" / "f_000.json").read_text())
+    assert len(doc["shapes"]) == 2
+    assert doc["imageHeight"] == 64 and doc["imageWidth"] == 96
+    # rasterizes through the standard labelme path
+    from unet_tpu.data.labelme import json_to_mask
+    mask = json_to_mask(str(tmp_path / "labelme" / "f_000.json"))
+    assert mask[20, 20] > 0 and mask[0, 0] == 0
+
+
+def test_cli_summarize_checkpoints(tmp_path, capsys):
+    (tmp_path / "best.meta.json").write_text(
+        json.dumps({"epoch": 7, "best_miou": 0.81}))
+    (tmp_path / "last.meta.json").write_text(
+        json.dumps({"epoch": 9, "best_miou": 0.79}))
+    rc = _cli(["tools", "summarize-checkpoints", "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "best" in out and "0.8100" in out
+
+
+def test_cli_tools_required_flags(capsys):
+    for argv in (["tools", "annotate", "--out", "/tmp/x"],
+                 ["tools", "summarize-checkpoints"],
+                 ["tools", "render-masks"]):
+        with pytest.raises(SystemExit):
+            _cli(argv)

@@ -204,6 +204,9 @@ _TOOL_REQUIRES = {
     "update-dataset": ["images_dir", "mask_dir", "out"],
     "render-masks": ["images_dir", "mask_dir", "out"],
     "render-predictions": ["images_dir", "out"],
+    "annotate": ["out", "frame_id", "filename", "box"],
+    "annotate-to-labelme": ["annotations_dir", "images_dir", "out"],
+    "summarize-checkpoints": ["ckpt_dir"],
 }
 
 
@@ -212,7 +215,8 @@ def cmd_tools(args) -> int:
 
     for req in _TOOL_REQUIRES.get(args.tool, []):
         names = req if isinstance(req, tuple) else (req,)
-        if not any(getattr(args, n, None) for n in names):
+        if not any(getattr(args, n, None) not in (None, "", [])
+                   for n in names):
             opts = " or ".join("--" + n.replace("_", "-") for n in names)
             raise SystemExit(f"tools {args.tool}: {opts} is required")
 
@@ -297,6 +301,26 @@ def cmd_tools(args) -> int:
         n = T.render_predictions(inf, args.images_dir, args.mask_dir, args.out,
                                  limit=args.limit)
         print(f"rendered {n} comparison grids to {args.out}")
+    elif args.tool == "annotate":
+        # headless rectangle burr annotation: same burr_annotations.json
+        # schema as the reference's mouse tool (tools/annotate_burr.py)
+        ann = T.load_annotations(args.out)
+        boxes = [[float(v) for v in b.split(",")] for b in args.box]
+        if any(len(b) != 4 for b in boxes):
+            raise SystemExit("--box must be x1,y1,x2,y2")
+        T.add_boxes(ann, args.frame_id, args.filename, boxes,
+                    replace=args.replace)
+        path = T.save_annotations(args.out, ann)
+        n = len(ann[str(args.frame_id)]["burr_regions"])
+        print(f"frame {args.frame_id}: {n} boxes -> {path}")
+    elif args.tool == "annotate-to-labelme":
+        ann = T.load_annotations(args.annotations_dir)
+        n = T.annotations_to_labelme(ann, args.images_dir, args.out,
+                                     label=args.label)
+        print(f"wrote {n} labelme JSONs to {args.out}")
+    elif args.tool == "summarize-checkpoints":
+        from unet_tpu.tools.evaluate import summarize_checkpoints
+        summarize_checkpoints(args.ckpt_dir)
     else:
         raise SystemExit(f"unknown tool {args.tool!r}")
     return 0
@@ -384,7 +408,9 @@ def build_parser() -> argparse.ArgumentParser:
                                      "hard-negatives", "calibrate-roi",
                                      "calibrate-scale", "diagnose-mask",
                                      "update-dataset", "render-masks",
-                                     "render-predictions"])
+                                     "render-predictions", "annotate",
+                                     "annotate-to-labelme",
+                                     "summarize-checkpoints"])
     pk.add_argument("--video", default=None)
     pk.add_argument("--videos-dir", default=None)
     pk.add_argument("--labelme-dir", default=None)
@@ -408,6 +434,20 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--test-ratio", type=float, default=0.1)
     pk.add_argument("--seed", type=int, default=42)
     pk.add_argument("--limit", type=int, default=None)
+    pk.add_argument("--frame-id", type=int, default=None,
+                    help="frame id to annotate (annotate)")
+    pk.add_argument("--filename", default=None,
+                    help="frame image filename (annotate)")
+    pk.add_argument("--box", action="append", default=[],
+                    help="x1,y1,x2,y2 burr rectangle; repeatable (annotate)")
+    pk.add_argument("--replace", action="store_true",
+                    help="replace the frame's existing boxes (annotate)")
+    pk.add_argument("--annotations-dir", default=None,
+                    help="dir holding burr_annotations.json (annotate-to-labelme)")
+    pk.add_argument("--label", default="burr_defect",
+                    help="labelme class label (annotate-to-labelme)")
+    pk.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint dir (summarize-checkpoints)")
     pk.add_argument("--model", default=None)
     pk.add_argument("--arch", default="nested_unet")
     pk.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])

@@ -9,3 +9,5 @@ from unet_tpu.tools.evaluate import (  # noqa: F401
     evaluate_dataset, SingleImageInference, summarize_checkpoints)
 from unet_tpu.tools.hard_negatives import create_hard_negative_dataset  # noqa: F401
 from unet_tpu.tools.visualize_dataset import render_masks, render_predictions  # noqa: F401
+from unet_tpu.tools.annotate import (  # noqa: F401
+    load_annotations, save_annotations, add_boxes, annotations_to_labelme)
