@@ -206,3 +206,46 @@ def test_make_run_scanner_or_vs_numpy(rng):
                                    op=jnp.logical_or, fill=False)
         got = np.asarray(scan(jnp.asarray(v)))
         assert np.array_equal(np.logical_and(got, fg), np.logical_and(want, fg))
+
+
+def test_filter_onehot_and_scatter_branches_agree():
+    """The compact one-hot area path and the scatter fallback are bit-equal;
+    forcing a tiny onehot_max_components selects the fallback."""
+    from unet_tpu.ops.cc import filter_components_by_geometry
+
+    rng = np.random.default_rng(5)
+    mask = np.zeros((2, 96, 128), bool)
+    for i in range(2):
+        for _ in range(12):
+            r, c = rng.integers(0, 90), rng.integers(0, 120)
+            mask[i, r:r + rng.integers(2, 9), c:c + rng.integers(2, 9)] = True
+    a = np.asarray(filter_components_by_geometry(
+        jnp.asarray(mask), 10, 60, max_aspect=5.0))
+    b = np.asarray(filter_components_by_geometry(
+        jnp.asarray(mask), 10, 60, max_aspect=5.0, onehot_max_components=1))
+    assert np.array_equal(a, b)
+    assert a.any() and not a.all()
+
+
+def test_filter_empty_mask_early_exit():
+    from unet_tpu.ops.cc import filter_components_by_geometry
+    out = filter_components_by_geometry(jnp.zeros((3, 32, 32), bool), 1, 100)
+    assert not np.asarray(out).any()
+
+
+def test_bbox_propagation_converges_on_serpentine():
+    """A serpentine strip needs many propagation rounds; the filter's raised
+    max_iters bound must fully converge so the single component's area is
+    exact (regression: truncation split it into fragments)."""
+    from unet_tpu.ops.cc import filter_components_by_geometry
+
+    s = np.zeros((64, 64), bool)
+    s[::4, :] = True
+    for r in range(0, 64, 8):
+        s[r:r + 4, 0] = True
+    for r in range(4, 64, 8):
+        s[r:r + 4, -1] = True
+    area = int(s.sum())
+    kept = np.asarray(filter_components_by_geometry(
+        jnp.asarray(s), area, area))   # exact-area gate: all or nothing
+    assert np.array_equal(kept, s)

@@ -97,3 +97,30 @@ def test_letterbox_pipeline_runs():
     out = stages.build_step(model, cfg)(variables, jnp.asarray(frames))
     assert out.class_map.shape == (2, 48, 96)
     assert out.diameters is not None
+
+
+def test_chunked_step_matches_per_batch(rng):
+    """build_chunked_step: K batches in one dispatch, bit-equal to K
+    separate per-batch dispatches."""
+    import jax.numpy as jnp
+
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg
+    from unet_tpu.pipeline import stages
+
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(64, 64)))
+    frames = (rng.random((3, 2, 96, 128, 3)) * 255).astype(np.uint8)
+
+    step = stages.build_step(model, cfg)
+    chunked = stages.build_chunked_step(model, cfg)
+    outs = chunked(variables, jnp.asarray(frames))
+    assert outs.class_map.shape[:2] == (3, 2)
+    for k in range(3):
+        ref = step(variables, jnp.asarray(frames[k]))
+        assert np.array_equal(np.asarray(outs.class_map[k]),
+                              np.asarray(ref.class_map))
+        assert np.array_equal(np.asarray(outs.cable_px[k]),
+                              np.asarray(ref.cable_px))

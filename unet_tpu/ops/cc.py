@@ -285,16 +285,34 @@ def largest_component(mask: jnp.ndarray, min_area: int = 0, connectivity: int = 
     return _batched(single, labels, stats.label, stats.area)
 
 
-def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 16):
+def _run_heads(fg: jnp.ndarray) -> jnp.ndarray:
+    """First pixel of every horizontal fg run (fg & not fg-to-the-left)."""
+    left = jnp.concatenate(
+        [jnp.zeros((fg.shape[0], 1), jnp.bool_), fg[:, :-1]], axis=1)
+    return jnp.logical_and(fg, jnp.logical_not(left))
+
+
+def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 4,
+                    with_rank: bool = False):
     """Fused labels + per-pixel component bbox. The propagated quantities
     (label, max_r, min_c, max_c) are segment-associative MINIMA after
     negating the two maxima, so each propagation pass is ONE stacked
-    (4, H, W) min-pool / segmented min-scan instead of four separate calls —
+    (C, H, W) min-pool / segmented min-scan instead of separate calls —
     scans are pass-dominated, and this is the burr filter's hot loop.
     min_r needs no channel of its own: the root label is the component's
     minimum row-major linear index, so min_r = label // W. Every foreground
     pixel ends up knowing its component's bounding box without any
-    per-component scatter."""
+    per-component scatter.
+
+    with_rank adds a 5th channel carrying the component's run-head rank:
+    seed every pixel with the inclusive row-major cumsum of the run-head
+    indicator. The cumsum is nondecreasing in linear order and the root IS
+    a run head (leftmost pixel of the component's topmost run), so the
+    min over the component equals the rank of the root's run head — a
+    dense compact component id in [1, #run_heads] obtained WITHOUT any
+    gather/scatter (docs/PERF.md: 1-D gathers cost ~30 ms per 3.7M
+    elements on this path; this channel costs one cumsum + 25 % on the
+    propagation)."""
     H, W = mask.shape
     fg = mask.astype(jnp.bool_)
     big = jnp.int32(np.iinfo(np.int32).max)
@@ -302,22 +320,27 @@ def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 16):
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     lab = rows * W + cols
     # channels: label, -max_r, min_c, -max_c (all propagate as min)
-    state0 = jnp.stack([lab, -rows, cols, -cols])
-    fg4 = jnp.broadcast_to(fg, (4, H, W))
-    scan_c = make_run_scanner(fg, axis=1)  # ladders shared by all 4 channels
+    chans = [lab, -rows, cols, -cols]
+    if with_rank:
+        chans.append(jnp.cumsum(
+            _run_heads(fg).reshape(-1).astype(jnp.int32)).reshape(H, W))
+    C = len(chans)
+    state0 = jnp.stack(chans)
+    fgC = jnp.broadcast_to(fg, (C, H, W))
+    scan_c = make_run_scanner(fg, axis=1)  # ladders shared by all channels
     scan_r = make_run_scanner(fg, axis=0)  # and hoisted out of the loop
 
-    def min_pool4(v):
-        masked = jnp.where(fg4, v, big)
+    def min_pool(v):
+        masked = jnp.where(fgC, v, big)
         out = -jax.lax.reduce_window(-masked, -big, jax.lax.max,
                                      (1, 3, 3), (1, 1, 1), "SAME")
-        return jnp.where(fg4, jnp.minimum(out, masked), v)
+        return jnp.where(fgC, jnp.minimum(out, masked), v)
 
     def body(carry):
         s, _, i = carry
         m = s
         for _ in range(pool_iters):
-            m = min_pool4(m)
+            m = min_pool(m)
         m = scan_c(m)
         m = scan_r(m)
         return m, jnp.any(m != s), i + 1
@@ -326,35 +349,38 @@ def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 16):
         _, changed, i = carry
         return jnp.logical_and(changed, i < max_iters)
 
-    s4, _, _ = jax.lax.while_loop(cond, body,
-                                  (state0, jnp.bool_(True), jnp.int32(0)))
-    labels = jnp.where(fg, s4[0], -1)
-    min_r = jnp.where(fg, s4[0] // W, 0)
-    return labels, min_r, -s4[1], s4[2], -s4[3]
+    s, _, _ = jax.lax.while_loop(cond, body,
+                                 (state0, jnp.bool_(True), jnp.int32(0)))
+    labels = jnp.where(fg, s[0], -1)
+    min_r = jnp.where(fg, s[0] // W, 0)
+    rank = s[4] if with_rank else None
+    return labels, min_r, -s[1], s[2], -s[3], rank
 
 
 def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: int,
                                   max_aspect: float = None, min_w: int = 0,
                                   min_h: int = 0, strict_min_wh: bool = False,
-                                  max_iters: int = 16) -> jnp.ndarray:
+                                  max_iters: int = 64,
+                                  onehot_max_components: int = 4096) -> jnp.ndarray:
     """Keep pixels whose component satisfies the reference's CC area/aspect/
     size gates (infer_two_stage_burr.py:100-119) — the fast path for the burr
-    filter: fused bbox propagation + ONE area scatter + ONE gather instead of
-    7 scatters + top-k (per-component area is the only non-extremum stat).
-    """
-    def single(m):
-        H, W = m.shape
-        hw = H * W
-        labels, mnr, mxr, mnc, mxc = _cc_bbox_single(m, max_iters)
-        labf = labels.reshape(-1)
-        fgf = labf >= 0
-        bins = jnp.where(fgf, labf, hw)
-        areas = jnp.zeros(hw + 1, jnp.int32).at[bins].add(jnp.where(fgf, 1, 0))
-        area_px = areas[bins].reshape(H, W)
+    filter: fused bbox propagation plus an MXU-shaped area gate.
 
+    Three regimes, picked by whole-batch lax.cond (measured v5e, b16 crops):
+      * empty candidates (the common production case — the reference video
+        has zero burr frames): skip everything, ~3 ms.
+      * <= onehot_max_components run heads per image: area gating via exact
+        one-hot matmuls over the compact run-head-rank id carried by the
+        propagation — per-component counts accumulate in f32 (exact below
+        2^24) and the keep flag maps back as a 0/1 one-hot dot (exact in
+        bf16), so no 3.7M-element scatter or gather runs (~65 ms -> ~20 ms).
+      * pathological masks (more run heads): the scatter+gather fallback,
+        bit-identical semantics.
+    """
+    def keep_from_bbox(m, mnr, mxr, mnc, mxc):
         width = mxc - mnc + 1
         height = mxr - mnr + 1
-        keep = jnp.logical_and(area_px >= min_area, area_px <= max_area)
+        keep = jnp.ones(m.shape, jnp.bool_)
         if max_aspect is not None:
             aspect = (jnp.maximum(width, height).astype(jnp.float32)
                       / (jnp.minimum(width, height).astype(jnp.float32) + 1e-6))
@@ -365,9 +391,50 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
         else:
             keep = jnp.logical_and(keep, jnp.logical_and(width > min_w,
                                                          height > min_h))
+        return keep
+
+    def single_scatter(m):
+        H, W = m.shape
+        hw = H * W
+        labels, mnr, mxr, mnc, mxc, _ = _cc_bbox_single(m, max_iters)
+        labf = labels.reshape(-1)
+        fgf = labf >= 0
+        bins = jnp.where(fgf, labf, hw)
+        areas = jnp.zeros(hw + 1, jnp.int32).at[bins].add(jnp.where(fgf, 1, 0))
+        area_px = areas[bins].reshape(H, W)
+        keep = jnp.logical_and(area_px >= min_area, area_px <= max_area)
+        keep = jnp.logical_and(keep, keep_from_bbox(m, mnr, mxr, mnc, mxc))
         return jnp.logical_and(m.astype(jnp.bool_), keep)
 
-    return _batched(single, mask)
+    def single_onehot(m):
+        H, W = m.shape
+        K = onehot_max_components
+        labels, mnr, mxr, mnc, mxc, rank = _cc_bbox_single(
+            m, max_iters, with_rank=True)
+        comp = jnp.where(labels >= 0, rank, K)  # bg out of range -> all-zero row
+        oh = jax.nn.one_hot(comp.reshape(-1), K, dtype=jnp.bfloat16)
+        # per-component pixel counts as an MXU matmul: bf16 0/1 operands,
+        # f32 accumulation -> exact below 2^24
+        hist = jnp.einsum("p,pc->c", jnp.ones((H * W,), jnp.bfloat16), oh,
+                          preferred_element_type=jnp.float32)
+        ok = jnp.logical_and(hist >= min_area, hist <= max_area)
+        keep_area = jnp.einsum("pc,c->p", oh, ok.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+        keep = jnp.logical_and((keep_area > 0.5).reshape(H, W),
+                               keep_from_bbox(m, mnr, mxr, mnc, mxc))
+        return jnp.logical_and(m.astype(jnp.bool_), keep)
+
+    def run(m):
+        heads = _batched(lambda mm: jnp.sum(_run_heads(
+            mm.astype(jnp.bool_)).astype(jnp.int32)), m)
+        return jax.lax.cond(jnp.max(heads) < onehot_max_components,
+                            lambda x: _batched(single_onehot, x),
+                            lambda x: _batched(single_scatter, x),
+                            m)
+
+    return jax.lax.cond(jnp.any(mask), run,
+                        lambda m: jnp.zeros(m.shape, jnp.bool_),
+                        mask)
 
 
 def count_components(mask: jnp.ndarray, connectivity: int = 8,

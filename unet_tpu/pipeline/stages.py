@@ -529,6 +529,24 @@ def build_step(model: Any, cfg: PipelineCfg):
     return jax.jit(partial(run_pipeline, model=model, cfg=cfg))
 
 
+def build_chunked_step(model: Any, cfg: PipelineCfg):
+    """Offline/throughput variant: one dispatch processes K batches.
+
+    Returns jitted fn(variables, frames (K, B, H, W, 3)) -> FrameOutputs
+    with every leaf stacked to (K, ...). The K batches run as a lax.scan
+    inside ONE device program, so host dispatch overhead is paid once per
+    chunk instead of once per batch — the right shape for file/offline
+    processing and for batched multi-stream serving, where latency of one
+    batch doesn't matter but aggregate throughput does. (The real-time
+    engine keeps per-batch dispatch + max_in_flight double buffering.)"""
+    def run(variables, frame_chunks):
+        def body(carry, fb):
+            return carry, run_pipeline(variables, fb, model, cfg)
+        _, outs = jax.lax.scan(body, 0, frame_chunks)
+        return outs
+    return jax.jit(run)
+
+
 def calibrate_int8(model: Any, variables: Dict[str, Any], cfg: PipelineCfg,
                    frame_batches) -> PipelineCfg:
     """Post-training int8 calibration on representative frames: runs the
