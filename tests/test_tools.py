@@ -324,3 +324,24 @@ def test_cli_tools_required_flags(capsys):
                  ["tools", "render-masks"]):
         with pytest.raises(SystemExit):
             _cli(argv)
+
+
+def test_cli_infer_int8(tmp_path, rng, capsys):
+    """cli infer --int8: calibrates on the video's first frames and runs the
+    quantized pipeline end to end (smoke mode, tiny model size)."""
+    import cv2
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(6):
+        f = rng.uniform(30, 70, (96, 128, 3))
+        f[:, 52:76] = (175, 180, 180)
+        cv2.imwrite(str(d / f"f_{i:03d}.png"),
+                    np.clip(f, 0, 255).astype(np.uint8))
+    rc = _cli(["infer", "--video", str(d), "--output", str(tmp_path / "out"),
+               "--preset", "two_stage", "--model-size", "64", "--batch", "3",
+               "--int8", "--no-video", "--dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "int8: calibrated on" in out
+    rows = open(tmp_path / "out" / "events.csv").read().splitlines()
+    assert len(rows) == 7  # header + 6 frames

@@ -84,6 +84,25 @@ def cmd_infer(args) -> int:
     if use_fast:
         cfg = cfg.replace_in("segment", fast_forward=True)
 
+    if args.int8:
+        # post-training int8: calibrate activation scales on the video's
+        # first frames, then run the quantized forward (models/quantized.py)
+        if arch != "nested_unet":
+            raise SystemExit("--int8 requires the custom-encoder NestedUNet")
+        from pathlib import Path as _Path
+
+        from unet_tpu.io.video import ImageDirReader, VideoReader
+        from unet_tpu.pipeline import stages
+
+        n_calib = 8
+        src = (ImageDirReader(args.video, n_calib)
+               if _Path(args.video).is_dir()
+               else VideoReader(args.video, 1, n_calib))
+        _, frames, n_valid = next(iter(src.batches(n_calib)))
+        cfg = stages.calibrate_int8(model, variables, cfg,
+                                    [frames[:max(n_valid, 1)]])
+        print(f"int8: calibrated on {n_valid} frames")
+
     hints = engine_hints(args.preset)
     if args.window is not None:
         hints["window_enabled"] = bool(args.window)
@@ -357,6 +376,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="turn-rate frame sampling (reference infer_video.py)")
     pi.add_argument("--fast", default="auto", choices=["auto", "on", "off"],
                     help="phase-packed MXU forward (models/fast_forward.py)")
+    pi.add_argument("--int8", action="store_true",
+                    help="int8 quantized forward, calibrated on the video's "
+                         "first frames (models/quantized.py)")
     pi.set_defaults(fn=cmd_infer)
 
     pt = sub.add_parser("train", help="training recipes (tools/train*.py family)")
