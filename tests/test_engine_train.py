@@ -156,3 +156,19 @@ def test_worst_sample_tracking(synth_dataset, tmp_path):
     worst = json.loads((tmp_path / "worst_samples.json").read_text())
     assert worst["epoch"] == 0 and len(worst["worst"]) == 3
     assert all(isinstance(w[0], float) and w[0] >= 0 for w in worst["worst"])
+
+
+def test_bf16_remat_training_converges(synth_dataset):
+    """Recipes train in bf16 compute (the reference's AMP analogue,
+    tools/train.py:115-136) with optional ConvBlock remat; the combination
+    must still learn a trivially separable scene, with params kept f32."""
+    import jax.numpy as jnp
+
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.train import overfit_test
+
+    model = NestedUNet(num_classes=2, deep_supervision=False,
+                       dtype=jnp.bfloat16, remat=True)
+    miou = overfit_test(model, synth_dataset, n_samples=4, steps=60,
+                        num_classes=2, image_size=32, lr=3e-3)
+    assert miou > 0.9

@@ -392,6 +392,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--seed", type=int, default=42)
     pt.add_argument("--n-devices", type=int, default=None)
     pt.add_argument("--encoder", default="mobilenet_v3_small")
+    pt.add_argument("--train-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="compute dtype for training (params stay float32); "
+                         "bfloat16 is the reference's AMP analogue")
+    pt.add_argument("--remat", action="store_true",
+                    help="rematerialize ConvBlocks in backward (fits larger "
+                         "batch/resolution in HBM at ~30%% recompute)")
     pt.set_defaults(fn=cmd_train)
 
     ps = sub.add_parser("inspect", help="yaml-config inspection serve")

@@ -42,21 +42,28 @@ class NestedUNet(nn.Module):
     deep_supervision: bool = True
     pretrained_encoder: bool = False  # ResNet50 encoder topology (weights via convert)
     dtype: Any = jnp.float32
+    # rematerialize ConvBlocks in the backward pass (jax.checkpoint): trades
+    # ~30 % recompute for the full-res activation memory — 512^2 batch-32
+    # training exceeds HBM without it (docs/PERF.md 3e). Param tree is
+    # unchanged, so checkpoints are interchangeable with remat off.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Union[jnp.ndarray, List[jnp.ndarray]]:
         ch = RESNET50_CHANNELS if self.pretrained_encoder else NB_FILTER
+        Block = (nn.remat(ConvBlock, static_argnums=(2,)) if self.remat
+                 else ConvBlock)
 
         if self.pretrained_encoder:
             x0_0, x1_0, x2_0, x3_0, x4_0 = ResNet50Encoder(
                 dtype=self.dtype, name="encoder")(x, train)
         else:
-            x0_0 = ConvBlock(ch[0], self.dtype, name="conv0_0")(x, train)
-            x1_0 = ConvBlock(ch[1], self.dtype, name="conv1_0")(max_pool2(x0_0), train)
-            x2_0 = ConvBlock(ch[2], self.dtype, name="conv2_0")(max_pool2(x1_0), train)
-            x3_0 = ConvBlock(ch[3], self.dtype, name="conv3_0")(max_pool2(x2_0), train)
-            x4_0 = ConvBlock(ch[4], self.dtype, name="conv4_0")(max_pool2(x3_0), train)
+            x0_0 = Block(ch[0], self.dtype, name="conv0_0")(x, train)
+            x1_0 = Block(ch[1], self.dtype, name="conv1_0")(max_pool2(x0_0), train)
+            x2_0 = Block(ch[2], self.dtype, name="conv2_0")(max_pool2(x1_0), train)
+            x3_0 = Block(ch[3], self.dtype, name="conv3_0")(max_pool2(x2_0), train)
+            x4_0 = Block(ch[4], self.dtype, name="conv4_0")(max_pool2(x3_0), train)
 
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)  # [skip, up] order
 
@@ -70,10 +77,10 @@ class NestedUNet(nn.Module):
                 return t
             return _up2(t)
 
-        x3_1 = ConvBlock(ch[3], self.dtype, name="conv3_1")(cat(x3_0, up_to(x4_0, x3_0)), train)
-        x2_2 = ConvBlock(ch[2], self.dtype, name="conv2_2")(cat(x2_0, up_to(x3_1, x2_0)), train)
-        x1_3 = ConvBlock(ch[1], self.dtype, name="conv1_3")(cat(x1_0, up_to(x2_2, x1_0)), train)
-        x0_4 = ConvBlock(ch[0], self.dtype, name="conv0_4")(cat(x0_0, up_to(x1_3, x0_0)), train)
+        x3_1 = Block(ch[3], self.dtype, name="conv3_1")(cat(x3_0, up_to(x4_0, x3_0)), train)
+        x2_2 = Block(ch[2], self.dtype, name="conv2_2")(cat(x2_0, up_to(x3_1, x2_0)), train)
+        x1_3 = Block(ch[1], self.dtype, name="conv1_3")(cat(x1_0, up_to(x2_2, x1_0)), train)
+        x0_4 = Block(ch[0], self.dtype, name="conv0_4")(cat(x0_0, up_to(x1_3, x0_0)), train)
 
         out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="final")(x0_4)
 

@@ -52,7 +52,9 @@ def _run(args, run_cfg: TrainRunCfg, advanced: bool = True,
     train_ds, val_ds = _datasets(args, run_cfg.image_size, advanced, three_class)
     train_loader, val_loader = make_train_val_loaders(
         train_ds, val_ds, args.batch, oversample_defects=oversample, seed=args.seed)
-    model = NestedUNet(num_classes=run_cfg.num_classes, deep_supervision=True)
+    model = NestedUNet(num_classes=run_cfg.num_classes, deep_supervision=True,
+                       remat=getattr(args, "remat", False),
+                       dtype=_train_dtype(args))
     result = train_model(model, train_loader, val_loader, run_cfg,
                          resume=args.resume)
     print(f"best mIoU: {result['best_miou']:.4f}")
@@ -158,6 +160,15 @@ RECIPES: Dict[str, Callable] = {
 }
 
 
+def _train_dtype(args):
+    """bf16 compute for training by default — the reference's AMP analogue
+    (tools/train.py:115-136; params/optimizer stay f32). --train-dtype
+    float32 opts out."""
+    import jax.numpy as jnp
+    return {"bfloat16": jnp.bfloat16,
+            "float32": jnp.float32}[getattr(args, "train_dtype", "bfloat16")]
+
+
 def run_recipe(args) -> int:
     if args.recipe not in RECIPES:
         raise SystemExit(f"unknown recipe {args.recipe!r}; "
@@ -184,7 +195,8 @@ def recipe_with_monitoring(args):
     train_loader = Loader(train_ds, args.batch, shuffle=True, drop_last=True,
                           seed=args.seed, with_indices=True)
     val_loader = Loader(val_ds, args.batch, prefetch=1)
-    model = NestedUNet(num_classes=3, deep_supervision=True)
+    model = NestedUNet(num_classes=3, deep_supervision=True,
+                       dtype=_train_dtype(args))
     result = train_model(model, train_loader, val_loader, cfg,
                          resume=args.resume)
     print(f"best mIoU: {result['best_miou']:.4f}")
@@ -218,7 +230,8 @@ def recipe_binary_patch(args):
     train_loader = Loader(train_ds, args.batch, shuffle=True, drop_last=True,
                           seed=args.seed)
     val_loader = Loader(val_ds, args.batch, prefetch=1)
-    model = NestedUNet(num_classes=2, deep_supervision=True)
+    model = NestedUNet(num_classes=2, deep_supervision=True,
+                       dtype=_train_dtype(args))
     result = train_model(model, train_loader, val_loader, cfg, resume=args.resume)
     print(f"best mIoU: {result['best_miou']:.4f}")
     return 0
@@ -241,7 +254,7 @@ def recipe_inspection(args):
                                                       args.batch, seed=args.seed)
     model = LightweightNestedUNet(
         num_classes=3, encoder=getattr(args, "encoder", "mobilenet_v3_small"),
-        deep_supervision=True)
+        deep_supervision=True, dtype=_train_dtype(args))
     result = train_model(model, train_loader, val_loader, cfg, resume=args.resume)
     print(f"best mIoU: {result['best_miou']:.4f}")
     return 0
