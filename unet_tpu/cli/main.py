@@ -98,7 +98,15 @@ def cmd_infer(args) -> int:
         src = (ImageDirReader(args.video, n_calib)
                if _Path(args.video).is_dir()
                else VideoReader(args.video, 1, n_calib))
-        _, frames, n_valid = next(iter(src.batches(n_calib)))
+        try:
+            batch = next(iter(src.batches(n_calib)), None)
+        finally:
+            cap = getattr(src, "cap", None)
+            if cap is not None:
+                cap.release()
+        if batch is None:
+            raise SystemExit(f"--int8: no frames decodable from {args.video}")
+        _, frames, n_valid = batch
         cfg = stages.calibrate_int8(model, variables, cfg,
                                     [frames[:max(n_valid, 1)]])
         print(f"int8: calibrated on {n_valid} frames")
@@ -203,7 +211,10 @@ def cmd_export(args) -> int:
 def cmd_bench(args) -> int:
     import bench
 
-    bench.main(["--config", str(args.config)])
+    argv = ["--config", str(args.config)]
+    if args.int8:
+        argv.append("--int8")
+    bench.main(argv)
     return 0
 
 
@@ -324,7 +335,10 @@ def cmd_tools(args) -> int:
         # headless rectangle burr annotation: same burr_annotations.json
         # schema as the reference's mouse tool (tools/annotate_burr.py)
         ann = T.load_annotations(args.out)
-        boxes = [[float(v) for v in b.split(",")] for b in args.box]
+        try:
+            boxes = [[float(v) for v in b.split(",")] for b in args.box]
+        except ValueError:
+            raise SystemExit("--box must be x1,y1,x2,y2") from None
         if any(len(b) != 4 for b in boxes):
             raise SystemExit("--box must be x1,y1,x2,y2")
         T.add_boxes(ann, args.frame_id, args.filename, boxes,
@@ -488,6 +502,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=[1, 2, 3, 4, 5, 6],
                     help="BASELINE.json config number (6 = true end-to-end "
                          "engine loop incl. decode/upload/overlay/write)")
+    pb.add_argument("--int8", action="store_true",
+                    help="calibrated int8 forward (configs 2-5)")
     pb.set_defaults(fn=cmd_bench)
     return p
 

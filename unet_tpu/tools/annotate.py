@@ -67,13 +67,15 @@ def annotations_to_labelme(annotations: Dict[str, dict], images_dir: str,
     n = 0
     for rec in annotations.values():
         img_path = Path(images_dir) / rec["filename"]
-        hw = (0, 0)
-        if img_path.exists():
-            im = cv2.imread(str(img_path))
-            if im is not None:
-                hw = im.shape[:2]
-        doc = rectangles_to_labelme(rec["filename"], hw, rec["burr_regions"],
-                                    label=label)
+        im = cv2.imread(str(img_path)) if img_path.exists() else None
+        if im is None:
+            # a 0x0 imageHeight/Width labelme doc would rasterize to empty
+            # masks downstream — surface the problem instead of writing it
+            print(f"warning: skipping {rec['filename']!r} "
+                  f"(image missing/unreadable in {images_dir})")
+            continue
+        doc = rectangles_to_labelme(rec["filename"], im.shape[:2],
+                                    rec["burr_regions"], label=label)
         (out / (Path(rec["filename"]).stem + ".json")).write_text(
             json.dumps(doc, indent=2), encoding="utf-8")
         n += 1

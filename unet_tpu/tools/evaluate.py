@@ -138,7 +138,10 @@ def summarize_checkpoints(ckpt_dir: str) -> Dict[str, Any]:
     print(f"{'checkpoint':<20} {'epoch':>6} {'best_mIoU':>10}")
     for name, info in sorted(out["checkpoints"].items(),
                              key=lambda kv: -(kv[1]["best_miou"] or 0)):
-        print(f"{name:<20} {info['epoch']:>6} {info['best_miou']:>10.4f}")
+        miou = info["best_miou"]
+        miou_s = f"{miou:.4f}" if isinstance(miou, (int, float)) else "-"
+        epoch_s = str(info["epoch"]) if info["epoch"] is not None else "-"
+        print(f"{name:<20} {epoch_s:>6} {miou_s:>10}")
     if out["history"]:
         h = out["history"]
         print(f"history: {h['epochs']} epochs, best mIoU {h['best_miou']:.4f} "

@@ -196,7 +196,8 @@ def recipe_with_monitoring(args):
                           seed=args.seed, with_indices=True)
     val_loader = Loader(val_ds, args.batch, prefetch=1)
     model = NestedUNet(num_classes=3, deep_supervision=True,
-                       dtype=_train_dtype(args))
+                       dtype=_train_dtype(args),
+                       remat=getattr(args, "remat", False))
     result = train_model(model, train_loader, val_loader, cfg,
                          resume=args.resume)
     print(f"best mIoU: {result['best_miou']:.4f}")
@@ -231,7 +232,8 @@ def recipe_binary_patch(args):
                           seed=args.seed)
     val_loader = Loader(val_ds, args.batch, prefetch=1)
     model = NestedUNet(num_classes=2, deep_supervision=True,
-                       dtype=_train_dtype(args))
+                       dtype=_train_dtype(args),
+                       remat=getattr(args, "remat", False))
     result = train_model(model, train_loader, val_loader, cfg, resume=args.resume)
     print(f"best mIoU: {result['best_miou']:.4f}")
     return 0
