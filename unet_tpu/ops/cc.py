@@ -162,7 +162,7 @@ def _cc_single(mask: jnp.ndarray, connectivity: int, max_iters: int,
 
 
 def connected_components(mask: jnp.ndarray, connectivity: int = 8,
-                         max_iters: int = 16) -> jnp.ndarray:
+                         max_iters: int = 64) -> jnp.ndarray:
     """Label (..., H, W) foreground masks: each fg pixel gets the minimum
     linear index (r*W + c) of its component; background gets -1.
 
@@ -270,7 +270,7 @@ def component_any(labels: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
 
 
 def largest_component(mask: jnp.ndarray, min_area: int = 0, connectivity: int = 8,
-                      max_iters: int = 16) -> jnp.ndarray:
+                      max_iters: int = 64) -> jnp.ndarray:
     """Largest connected component of a binary mask; all-zero if the largest
     is smaller than `min_area` (reference src/utils/geometry_enhanced.py:85-110;
     with min_area=0 also matches src/utils/geometry.py:40-48 whose 'unchanged'
@@ -438,7 +438,7 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
 
 
 def count_components(mask: jnp.ndarray, connectivity: int = 8,
-                     max_components: int = 64, max_iters: int = 16) -> jnp.ndarray:
+                     max_components: int = 64, max_iters: int = 64) -> jnp.ndarray:
     """Number of connected components (excluding background), clipped at
     `max_components` (reference src/utils/geometry_enhanced.py:297-306)."""
     labels = connected_components(mask, connectivity, max_iters)
