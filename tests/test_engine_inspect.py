@@ -336,3 +336,22 @@ def test_stages_quality_and_components():
     assert cls == [4, 5]
     areas = sorted(np.asarray(dcomp.area)[0][valid].tolist())
     assert areas == [4 * 6 * 4, 6 * 5 * 4]  # 2x upscale to 128 => x4 area
+
+
+def test_image_dir_mixed_sizes(tmp_path):
+    """Mixed-size image dirs are normalized to the first image's resolution
+    (batches stack into one static-shape device array)."""
+    import cv2
+
+    from unet_tpu.io.video import ImageDirReader
+
+    rng = np.random.default_rng(7)
+    d = tmp_path / "mixed"
+    d.mkdir()
+    for i, hw in enumerate([(96, 128), (64, 80), (96, 128), (120, 60)]):
+        cv2.imwrite(str(d / f"f_{i:03d}.png"),
+                    rng.uniform(0, 255, hw + (3,)).astype(np.uint8))
+    batches = list(ImageDirReader(str(d)).batches(3))
+    assert len(batches) == 2
+    for ids, frames, n_valid in batches:
+        assert frames.shape[1:] == (96, 128, 3)

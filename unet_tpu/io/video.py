@@ -91,11 +91,21 @@ class ImageDirReader:
 
     def frames(self) -> Iterator[Tuple[int, np.ndarray]]:
         import cv2
+        warned = False
         for i, p in enumerate(self.paths):
             # CJK-path-safe read (reference src/data/dataset.py np.fromfile trick)
             img = cv2.imdecode(np.fromfile(str(p), np.uint8), cv2.IMREAD_COLOR)
-            if img is not None:
-                yield i + 1, img
+            if img is None:
+                continue
+            if img.shape[:2] != (self.meta.height, self.meta.width):
+                # batches are stacked into one static-shape device array, so
+                # mixed-size dirs are normalized to the first image's size
+                if not warned:
+                    print(f"note: resizing mixed-size images to "
+                          f"{self.meta.width}x{self.meta.height} (first image)")
+                    warned = True
+                img = cv2.resize(img, (self.meta.width, self.meta.height))
+            yield i + 1, img
 
     def batches(self, batch: int):
         return VideoReader.batches(self, batch)  # type: ignore[arg-type]
