@@ -52,14 +52,18 @@ def _throughput(step, variables, frames_host, batch, n_frames=128,
     out = step(variables, frames)
     _ = np.asarray(out.cable_px)  # real sync (block_until_ready unreliable here)
     n_iters = max(int(round(n_frames / batch)), 4)
-    best = float("inf")
+    times = []
     for _r in range(repeats):
         t0 = time.perf_counter()
         outs = [step(variables, frames) for _ in range(n_iters)]
         for o in outs:
             _ = np.asarray(o.cable_px), np.asarray(o.tape_px), np.asarray(o.burr_px)
-        best = min(best, time.perf_counter() - t0)
-    return batch * n_iters / best
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    frames_total = batch * n_iters
+    # (best, median) FPS across repeats — best reflects the pipelined
+    # dispatch regime (see docstring), median shows reproducibility
+    return frames_total / times[0], frames_total / times[len(times) // 2]
 
 
 def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32),
@@ -95,18 +99,18 @@ def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32),
     step = stages.build_step(model, cfg)
     chunked = stages.build_chunked_step(model, cfg)
     rng = np.random.default_rng(0)
-    best = (0.0, 0)
+    best = (0.0, 0, 0.0)  # (best_fps, batch, median_fps at that config)
     for batch in batches:
         frames = _synthetic_frames(rng, chunk * batch,
                                    h=frame_hw[0], w=frame_hw[1])
-        fps = _throughput(step, variables, frames[:batch], batch)
+        fps, med = _throughput(step, variables, frames[:batch], batch)
         if fps > best[0]:
-            best = (fps, batch)
-        fps = _throughput(chunked, variables,
-                          frames.reshape((chunk, batch) + frames.shape[1:]),
-                          chunk * batch)
+            best = (fps, batch, med)
+        fps, med = _throughput(chunked, variables,
+                               frames.reshape((chunk, batch) + frames.shape[1:]),
+                               chunk * batch)
         if fps > best[0]:
-            best = (fps, batch)
+            best = (fps, batch, med)
     return best
 
 
@@ -182,16 +186,9 @@ def main(argv=None) -> None:
                          "instead of the bf16 phase-packed one (configs 2-5)")
     args = ap.parse_args(argv)
 
-    import os
-
-    import jax
-    try:  # persistent compile cache across bench invocations
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("UNET_TPU_JAX_CACHE",
-                                         "/tmp/unet_tpu_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # persistent compile cache across bench invocations (user-scoped dir)
+    from unet_tpu.core.config import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.config == 1:
         print(json.dumps(config1()))
@@ -200,37 +197,44 @@ def main(argv=None) -> None:
         print(json.dumps(config6()))
         return
     tag = "_int8" if args.int8 else ""
+    extra = {}
     if args.config == 2:
         # the headline measures BOTH shipped forwards — bf16 phase-packed and
-        # calibrated int8 (cli infer --int8) — and reports the faster
-        # (measured: bf16 252 FPS, int8 296 via chunked dispatch)
-        fps, batch = _pipeline_bench("two_stage", {}, int8=args.int8)
+        # calibrated int8 (cli infer --int8) — as SEPARATE metrics, and
+        # reports the faster under its own honest name (measured r2: bf16
+        # 252 FPS, int8 296 via chunked dispatch; int8 accuracy is gated by
+        # tests/test_quantized.py's mIoU-delta protocol)
+        fps, batch, med = _pipeline_bench("two_stage", {}, int8=args.int8)
         name = f"two_stage_800x448{tag}_fps_per_chip(batch={batch})"
+        extra[f"{'int8' if args.int8 else 'bf16'}_fps"] = round(fps, 2)
         if not args.int8:
-            fps8, batch8 = _pipeline_bench("two_stage", {}, int8=True)
+            fps8, batch8, med8 = _pipeline_bench("two_stage", {}, int8=True)
+            extra["int8_fps"] = round(fps8, 2)
             if fps8 > fps:
-                fps, batch = fps8, batch8
+                fps, batch, med = fps8, batch8, med8
                 name = f"two_stage_800x448_int8_fps_per_chip(batch={batch})"
     elif args.config == 3:
-        fps, batch = _pipeline_bench("enhanced", {"enhance": True},
-                                     int8=args.int8)
+        fps, batch, med = _pipeline_bench("enhanced", {"enhance": True},
+                                          int8=args.int8)
         name = f"enhanced_clahe_denoise{tag}_fps(batch={batch})"
     elif args.config == 4:
         # 2448x2048 source rotated 90 CCW + normalized to 800x448 on device
         # (reference infer_high_res_custom_roi.py)
-        fps, batch = _pipeline_bench("high_res_roi", {}, batches=(2, 4, 8),
-                                     frame_hw=(2448, 2048), int8=args.int8)
+        fps, batch, med = _pipeline_bench("high_res_roi", {}, batches=(2, 4, 8),
+                                          frame_hw=(2448, 2048), int8=args.int8)
         name = f"high_res_2448x2048{tag}_fps(batch={batch})"
     else:  # 5: 7-class wrap-uniformity, batched multi-stream (batch >= 8)
-        fps, batch = _pipeline_bench("wrap_7class", {}, batches=(8, 16, 32),
-                                     int8=args.int8)
-        name = f"wrap_7class_multistream{tag}_fps(batch={batch})"
+        fps, batch, med = _pipeline_bench("wrap_7class", {}, batches=(8, 16, 32),
+                                          int8=args.int8)
+        name = f"wrap_7class_batched{tag}_fps(batch={batch})"
 
     print(json.dumps({
         "metric": name,
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "median_fps": round(med, 2),
+        **extra,
     }))
 
 

@@ -19,8 +19,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the suite is compile-dominated (~15 min cold);
 # re-runs hit the disk cache instead.
+import tempfile
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("UNET_TPU_JAX_CACHE", "/tmp/unet_tpu_jax_cache"))
+                  os.environ.get("UNET_TPU_JAX_CACHE", os.path.join(
+                      tempfile.gettempdir(),
+                      f"unet_tpu_jax_cache_{os.getuid()}")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 

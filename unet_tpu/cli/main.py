@@ -19,16 +19,10 @@ def _ensure_backend() -> None:
     """Fall back to CPU when the accelerator plugin is absent/unhealthy, and
     enable the persistent compilation cache (512^2 graphs compile in tens of
     seconds cold; cached reloads are near-instant)."""
-    import os
-
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("UNET_TPU_JAX_CACHE",
-                                         "/tmp/unet_tpu_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # cache is an optimization, never a hard requirement
+
+    from unet_tpu.core.config import enable_compilation_cache
+    enable_compilation_cache()
     try:
         jax.devices()
     except RuntimeError as e:
@@ -85,8 +79,11 @@ def cmd_infer(args) -> int:
         cfg = cfg.replace_in("segment", fast_forward=True)
 
     if args.int8:
-        # post-training int8: calibrate activation scales on the video's
-        # first frames, then run the quantized forward (models/quantized.py)
+        # post-training int8: calibrate activation scales on frames STRIDED
+        # across the whole video (an unrepresentative intro — dark / flat /
+        # fade-in — would yield tiny amax scales and silently saturate later
+        # activations at 127), then run the quantized forward
+        # (models/quantized.py)
         if arch != "nested_unet":
             raise SystemExit("--int8 requires the custom-encoder NestedUNet")
         from pathlib import Path as _Path
@@ -94,10 +91,17 @@ def cmd_infer(args) -> int:
         from unet_tpu.io.video import ImageDirReader, VideoReader
         from unet_tpu.pipeline import stages
 
-        n_calib = 8
-        src = (ImageDirReader(args.video, n_calib)
-               if _Path(args.video).is_dir()
-               else VideoReader(args.video, 1, n_calib))
+        n_calib = 16
+        if _Path(args.video).is_dir():
+            src = ImageDirReader(args.video)
+            stride = max(1, len(src.paths) // n_calib)
+            src.paths = src.paths[::stride][:n_calib]
+        else:
+            probe = VideoReader(args.video)
+            total = probe.meta.total_frames
+            probe.cap.release()
+            stride = max(1, total // n_calib)
+            src = VideoReader(args.video, stride, n_calib)
         try:
             batch = next(iter(src.batches(n_calib)), None)
         finally:
@@ -109,7 +113,8 @@ def cmd_infer(args) -> int:
         _, frames, n_valid = batch
         cfg = stages.calibrate_int8(model, variables, cfg,
                                     [frames[:max(n_valid, 1)]])
-        print(f"int8: calibrated on {n_valid} frames")
+        print(f"int8: calibrated on {n_valid} frames "
+              f"(stride {stride} across the video)")
 
     hints = engine_hints(args.preset)
     if args.window is not None:

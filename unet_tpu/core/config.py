@@ -10,8 +10,33 @@ without editing.
 from __future__ import annotations
 
 import dataclasses
+import os
+import tempfile
 from pathlib import Path
 from typing import Any, Dict
+
+
+def jax_cache_dir() -> str:
+    """Persistent-compile-cache location: user-scoped by default (a fixed
+    world-writable /tmp path would let another local user pre-create and
+    poison the directory whose compiled artifacts JAX loads and executes);
+    UNET_TPU_JAX_CACHE overrides."""
+    override = os.environ.get("UNET_TPU_JAX_CACHE")
+    if override:
+        return override
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"unet_tpu_jax_cache_{uid}")
+
+
+def enable_compilation_cache() -> None:
+    """Best-effort persistent JAX compilation cache (512^2 graphs compile in
+    tens of seconds cold; cached reloads are near-instant)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimization, never a hard requirement
 
 from unet_tpu.pipeline.config import (ROI, BurrCfg, GeometryCfg, PipelineCfg,
                                       PostprocessCfg, PreprocessCfg, SegmentCfg)

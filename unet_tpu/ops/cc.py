@@ -407,6 +407,13 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
         return jnp.logical_and(m.astype(jnp.bool_), keep)
 
     def single_onehot(m):
+        # FUSION ASSUMPTION: the (H*W, K) bf16 one-hot below is never meant
+        # to materialize — XLA fuses it into both einsums (verified on the
+        # v5e measurements in docs/PERF.md §3d). If a compiler regression
+        # ever materialized it, the operand would be H*W*K*2 bytes (~2 GB at
+        # 512^2, x batch under vmap) and the burr filter would blow HBM
+        # instead of getting slower. Escape hatch: UNET_TPU_CC_NO_ONEHOT=1
+        # forces the scatter path (bit-identical semantics).
         H, W = m.shape
         K = onehot_max_components
         labels, mnr, mxr, mnc, mxc, rank = _cc_bbox_single(
@@ -425,6 +432,9 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
         return jnp.logical_and(m.astype(jnp.bool_), keep)
 
     def run(m):
+        import os
+        if os.environ.get("UNET_TPU_CC_NO_ONEHOT"):
+            return _batched(single_scatter, m)
         heads = _batched(lambda mm: jnp.sum(_run_heads(
             mm.astype(jnp.bool_)).astype(jnp.int32)), m)
         return jax.lax.cond(jnp.max(heads) < onehot_max_components,
