@@ -355,3 +355,69 @@ def test_image_dir_mixed_sizes(tmp_path):
     assert len(batches) == 2
     for ids, frames, n_valid in batches:
         assert frames.shape[1:] == (96, 128, 3)
+
+
+class BrightnessStubModel:
+    """Mask selected per frame by brightness: bright frames get the THICK
+    mask (ratio 4 > 1.5 -> abnormal), dark frames a normal-ratio mask —
+    lets a fixed jitted step produce a time-varying abnormality signal."""
+
+    def __init__(self, num_classes=3):
+        self.num_classes = num_classes
+        self.thick = solid_mask()                      # dt/dc = 32/8 = 4
+        self.normal = solid_mask(dt=(6, 18))           # dt/dc = 12/8 = 1.5
+
+    def apply(self, variables, x, train=False):
+        import jax.nn
+        import jax.numpy as jnp
+        thick = jax.nn.one_hot(jnp.asarray(self.thick), self.num_classes) * 10.0
+        normal = jax.nn.one_hot(jnp.asarray(self.normal), self.num_classes) * 10.0
+        bright = jnp.mean(x, axis=(1, 2, 3)) > 0.5     # x is /255 normalized
+        return jnp.where(bright[:, None, None, None], thick, normal)
+
+
+def _brightness_dir(tmp_path, pattern):
+    """Write frames: '1' = bright (abnormal), '0' = dark (normal)."""
+    import cv2
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i, ch in enumerate(pattern):
+        lo, hi = (200, 255) if ch == "1" else (10, 60)
+        f = rng.uniform(lo, hi, (128, 128, 3)).astype(np.uint8)
+        cv2.imwrite(str(d / f"f_{i:03d}.png"), f)
+    return str(d)
+
+
+def test_event_gate_blip_vs_streak(tmp_path):
+    """EventGate wiring (reference infer_video_robust.py:219-239): a 2-frame
+    abnormal blip logs NOTHING; an 8-frame streak logs exactly ONE gated
+    event (cooldown blocks refires within the run)."""
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine, engine_hints
+
+    hints = engine_hints("robust")
+    assert hints["event_gate_enabled"]
+
+    def run(pattern, out):
+        d = _brightness_dir(out, pattern)
+        eng = InferenceEngine(BrightnessStubModel(), {}, _cfg(), EngineConfig(
+            batch=4, output_dir=str(out / "res"), write_video=False,
+            event_gate_enabled=True, gate_hold_frames=8,
+            gate_cooldown_sec=60.0, print_interval=100))
+        summary = eng.process_video(d)
+        rows = list(csv.DictReader(open(out / "res" / "gated_events.csv")))
+        return summary, rows
+
+    blip = tmp_path / "blip"
+    blip.mkdir()
+    s, rows = run("0011000000000000", blip)
+    assert s["gated_events"] == 0 and rows == []
+
+    streak = tmp_path / "streak"
+    streak.mkdir()
+    s, rows = run("0011111111000000", streak)
+    assert s["gated_events"] == 1
+    assert rows[0]["event_type"] == "abnormal_confirmed"
+    # fires on the 8th consecutive abnormal frame (1-based ids, streak at 3..10)
+    assert int(rows[0]["frame_id"]) == 10
+    assert float(rows[0]["ratio"]) > 1.5

@@ -19,10 +19,19 @@ def _ensure_backend() -> None:
     """Fall back to CPU when the accelerator plugin is absent/unhealthy, and
     enable the persistent compilation cache (512^2 graphs compile in tens of
     seconds cold; cached reloads are near-instant)."""
+    import os
+
     import jax
 
     from unet_tpu.core.config import enable_compilation_cache
     enable_compilation_cache()
+    # UNET_TPU_PLATFORM pins the backend via jax.config (which wins even
+    # where the launcher force-sets JAX_PLATFORMS above the environment) —
+    # e.g. UNET_TPU_PLATFORM=cpu runs the CLI on a host without a healthy
+    # accelerator/tunnel instead of hanging on device discovery
+    plat = os.environ.get("UNET_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     try:
         jax.devices()
     except RuntimeError as e:

@@ -353,3 +353,89 @@ def bilateral_filter(img: jnp.ndarray, d: int = 7, sigma_color: float = 25.0,
             num = num + w * nb
             den = den + w
     return num / den
+
+
+# ---------------------------------------------------------------------------
+# dynamic horizontal crop/resize (the ROI-first preset's core ops)
+# ---------------------------------------------------------------------------
+
+def crop_resize_bilinear(img: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray,
+                         out_hw: Sequence[int]) -> jnp.ndarray:
+    """Per-image DYNAMIC horizontal crop [x0, x1) resized to static `out_hw`
+    with bilinear sampling (cv2 convention: src = (dst+0.5)*scale - 0.5).
+
+    img (B, H, W, C) float, x0/x1 (B,) int — the crop box is a traced value,
+    so the ROI-first preset (reference infer_video_roi.py:201-209 crops with
+    numpy then cv2.resize's to 512) stays ONE static-shape jit program: the
+    dynamic box becomes per-pixel gather coordinates instead of a dynamic
+    slice, and batches with different boxes never recompile."""
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    H, W = img.shape[-3], img.shape[-2]
+
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (H / oh) - 0.5
+    y0i = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    wy = jnp.clip(ys - y0i, 0.0, 1.0)
+
+    def one(im, a, b):
+        span = jnp.maximum((b - a).astype(jnp.float32), 1.0)
+        xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (span / ow) - 0.5 + a
+        x0i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+        wx = jnp.clip(xs - x0i, 0.0, 1.0)[None, :, None]
+        wyc = wy[:, None, None]
+        top = im[y0i[:, None], x0i[None, :]] * (1 - wx) + im[y0i[:, None], x1i[None, :]] * wx
+        bot = im[y1i[:, None], x0i[None, :]] * (1 - wx) + im[y1i[:, None], x1i[None, :]] * wx
+        return top * (1 - wyc) + bot * wyc
+
+    return jax.vmap(one)(img, x0, x1)
+
+
+def uncrop_resize_nearest(mask: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray,
+                          out_hw: Sequence[int]) -> jnp.ndarray:
+    """Inverse of crop_resize_bilinear for bool masks: nearest-resize the
+    model-res mask into the [x0, x1) horizontal span of a zeroed full frame
+    (reference infer_video_roi.py:238-247 paste-back), per-image dynamic box,
+    static shapes."""
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    mh, mw = mask.shape[-2], mask.shape[-1]
+    ys = jnp.minimum((jnp.arange(oh) * mh) // oh, mh - 1)
+    ox = jnp.arange(ow)
+
+    def one(m, a, b):
+        span = jnp.maximum(b - a, 1)
+        xs = jnp.clip((ox - a) * mw // span, 0, mw - 1)
+        out = m[ys[:, None], xs[None, :]]
+        inside = jnp.logical_and(ox >= a, ox < b)
+        return jnp.logical_and(out, inside[None, :])
+
+    return jax.vmap(one)(mask, x0, x1)
+
+
+def detect_vertical_roi(gray: jnp.ndarray, canny_low: float = 50.0,
+                        canny_high: float = 150.0, smooth: int = 30,
+                        rel_thresh: float = 0.3, margin_frac: float = 0.1):
+    """Per-frame [x0, x1) bounds of the vertical edge-density band
+    (reference detect_roi_by_projection, infer_video_roi.py:23-57): Canny ->
+    per-column edge counts -> box smoothing -> columns above rel_thresh*max,
+    expanded by margin_frac of the span; central half when nothing clears the
+    threshold. (The reference rescales column indices by w/512 even though
+    its projection ran at full width — a documented defect (SURVEY §2.5
+    spirit) not replicated here.) Returns (x0, x1) int32 (B,) arrays."""
+    from unet_tpu.ops import edges as _edges
+    e = _edges.canny(gray, canny_low, canny_high)
+    proj = jnp.sum(e.astype(jnp.float32), axis=-2)          # (B, W)
+    k = jnp.ones((smooth,), jnp.float32) / smooth
+    proj = jax.vmap(lambda p: jnp.convolve(p, k, mode="same"))(proj)
+    thr = jnp.max(proj, axis=-1, keepdims=True) * rel_thresh
+    active = proj > thr
+    W = gray.shape[-1]
+    any_active = jnp.any(active, axis=-1)
+    x0 = jnp.argmax(active, axis=-1).astype(jnp.int32)
+    x1 = (W - jnp.argmax(jnp.flip(active, -1), axis=-1)).astype(jnp.int32)
+    m = ((x1 - x0).astype(jnp.float32) * margin_frac).astype(jnp.int32)
+    x0 = jnp.maximum(x0 - m, 0)
+    x1 = jnp.minimum(x1 + m, W)
+    x0 = jnp.where(any_active, x0, W // 4)
+    x1 = jnp.where(any_active, x1, (3 * W) // 4)
+    return x0, x1

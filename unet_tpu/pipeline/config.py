@@ -48,6 +48,14 @@ class PreprocessCfg:
     normalization: str = "unit"                       # "unit" (/255) | "imagenet"
     letterbox: bool = False   # aspect-preserving pad instead of stretch
                               # (reference infer_video_robust.py:40-61)
+    # ROI-first inference (reference infer_video_roi.py:23-57): per-frame
+    # vertical-edge-projection ROI detection, model runs on the dynamic
+    # horizontal crop, masks paste back — all on device with static shapes
+    # (dynamic box -> gather-based crop-resize, no recompiles)
+    dynamic_roi: bool = False
+    dynamic_roi_margin: float = 0.1    # bound expansion as a span fraction
+    dynamic_roi_thresh: float = 0.3    # column active at > thresh * max
+    dynamic_roi_smooth: int = 30       # projection box-smoothing width
 
 
 @dataclass(frozen=True)
@@ -62,12 +70,31 @@ class SegmentCfg:
     # int8 quantized forward (models/quantized.py): calibrated (tap, scale)
     # pairs from pipeline.stages.calibrate_int8; empty = stay bf16/f32
     int8_scales: Tuple[Tuple[str, float], ...] = ()
-    threshold_mode: str = "argmax"  # "argmax" | "per_class" | "exclusive"
+    # "argmax" | "per_class" | "exclusive" | "relative" | "ultra_strict"
+    threshold_mode: str = "argmax"
     # per-class probability thresholds (infer_video_simple.py:82-154)
     class_thresholds: Tuple[float, ...] = ()
     # exclusive-threshold params (infer_video_robust.py:70-99)
     bg_margin: float = 0.05
     ct_margin: float = 0.05
+    # relative-to-background thresholds (infer_video_spatial.py:71-98:
+    # p_cable > p_bg*ratio; overlap -> higher prob wins)
+    bg_ratio_cable: float = 2.0
+    bg_ratio_tape: float = 2.5
+    # per_class mutual-exclusion ratio (infer_video_v3_high_quality.py:
+    # cable only when p_cable > p_tape*ct_ratio and vice versa); 0 = off
+    ct_ratio: float = 0.0
+    # model output channel -> class id map for the full defect map, e.g. the
+    # 6-class v3 model's channels map to ids (0,1,2,4,5,6)
+    # (infer_video_v3_high_quality.py:33-36); () = identity
+    class_remap: Tuple[int, ...] = ()
+    # build the full defect map from per-channel probability thresholds +
+    # priority merge instead of argmax (infer_video_v3_high_quality.py:
+    # defect_thresh=0.70, open3/close5 per defect mask)
+    pred_full_from_thresholds: bool = False
+    defect_threshold: float = 0.70
+    defect_open_ksize: int = 3
+    defect_close_ksize: int = 5
 
 
 @dataclass(frozen=True)
@@ -102,6 +129,10 @@ class PostprocessCfg:
     """Shape-constraint mask cleanup (reference src/refactor/postprocess.py,
     infer_video_robust.py:102-216)."""
     enabled: bool = False
+    # "shape" (robust: scored cable CC + tape ring) | "spatial" (vertical
+    # strip gates at model res, infer_video_spatial.py:24-53) | "refine"
+    # (aspect/position gates at model res, infer_video_roi.py:128-167)
+    mode: str = "shape"
     cable_min_area: int = 500
     cable_min_aspect: float = 2.0
     cable_max_center_offset: float = 0.35
@@ -110,6 +141,21 @@ class PostprocessCfg:
     morph_cleanup_ksize: int = 0
     cable_bbox_pad: int = 0   # >0: zero tape outside cable bbox + pad
                               # (reference infer_video_robust.py:201-216)
+    # >0: elliptical close on cable/tape after resize-to-frame (the v3
+    # preset's "simple 3x3 close", infer_video_v3_high_quality.py)
+    close_ksize: int = 0
+    # spatial mode (widths in model-res pixels)
+    spatial_min_area: int = 1000
+    spatial_cable_w: Tuple[int, int] = (30, 200)
+    spatial_tape_w: Tuple[int, int] = (20, 150)
+    spatial_min_height_ratio: float = 0.3
+    # refine mode
+    refine_min_area: int = 2000
+    refine_aspect: float = 2.0
+    refine_wide_w: int = 100
+    refine_edge_frac: float = 0.1
+    refine_edge_area: int = 10000
+    max_components: int = 16
 
 
 @dataclass(frozen=True)

@@ -31,8 +31,8 @@ import numpy as np
 
 from unet_tpu.events import InspectionEventLogger, EventOutputConfig
 from unet_tpu.inspect import (DefectTracker, EventConfig, EventDetector,
-                              FrameMetrics, FrameQualityGate, FrameResult,
-                              ThresholdConfig, WindowAggregator,
+                              EventGate, FrameMetrics, FrameQualityGate,
+                              FrameResult, ThresholdConfig, WindowAggregator,
                               WrapUniformityMonitor, make_decision)
 from unet_tpu.io.video import ImageDirReader, VideoReader, VideoWriter
 from unet_tpu.pipeline import stages
@@ -71,6 +71,17 @@ class EngineConfig:
     # cfg.geometry.enabled; reference src/refactor/event_detector.py:24-175)
     event_detector_enabled: bool = False
     event_cfg: EventConfig = field(default_factory=EventConfig)
+    # N-consecutive abnormal-frame confirmation + wall-clock cooldown before
+    # an event is logged (requires cfg.geometry.enabled; reference
+    # infer_video_robust.py:219-239 EventGate — defined there but never
+    # instantiated; here it is the robust preset's event path). A frame is
+    # abnormal when the wrap ratio dt/dc leaves [gate_ratio_min,
+    # gate_ratio_max] or a burr is present.
+    event_gate_enabled: bool = False
+    gate_hold_frames: int = 8
+    gate_cooldown_sec: float = 3.0
+    gate_ratio_min: float = 1.05
+    gate_ratio_max: float = 1.5
     # IoU-matched multi-frame defect confirmation (requires
     # cfg.inspect.track_defects; reference infer_video_optimized.py:66-189)
     tracker_enabled: bool = False
@@ -119,6 +130,10 @@ class InferenceEngine:
         # frame ids restart with every video
         self.event_detector: Optional[EventDetector] = None
         self.tracker: Optional[DefectTracker] = None
+        self.event_gate: Optional[EventGate] = None
+        if e.event_gate_enabled and not cfg.geometry.enabled:
+            raise ValueError("event_gate_enabled requires cfg.geometry.enabled "
+                             "(abnormality comes from the wrap ratio)")
 
     def _reset_per_video(self) -> None:
         e = self.ecfg
@@ -127,6 +142,8 @@ class InferenceEngine:
         self.tracker = (DefectTracker(e.tracker_confirm_frames, e.tracker_iou,
                                       e.tracker_stale_frames, CLASS_NAMES)
                         if e.tracker_enabled else None)
+        self.event_gate = (EventGate(e.gate_hold_frames, e.gate_cooldown_sec)
+                           if e.event_gate_enabled else None)
 
     def _host_preprocess(self, frame: np.ndarray, hw) -> np.ndarray:
         """Mirror the device-side geometric preprocess (rotate/normalize) on
@@ -240,6 +257,18 @@ class InferenceEngine:
                 if r["is_thick"]:
                     state["wrap_events"].append((fid, "thick"))
 
+            if self.event_gate is not None and dc_px is not None:
+                ratio = dt_px / dc_px if dc_px > 0 else None
+                abnormal = bool(has_burr) or (
+                    ratio is not None and not
+                    (self.ecfg.gate_ratio_min <= ratio <= self.ecfg.gate_ratio_max))
+                self.event_gate.update(abnormal)
+                if self.event_gate.should_fire():
+                    state["gated_events"].append(
+                        (fid, "abnormal_confirmed",
+                         f"{ratio:.3f}" if ratio is not None else "",
+                         int(has_burr)))
+
             if self.event_detector is not None and dc_px is not None:
                 ratio = dt_px / dc_px if dc_px > 0 else None
                 fired = self.event_detector.add_frame(FrameMetrics(
@@ -325,7 +354,7 @@ class InferenceEngine:
         state: Dict[str, Any] = {
             "processed": 0, "burr_frames": 0, "csv_rows": [], "skipped": [],
             "detector_events": [], "confirmed_defects": [], "wrap_events": [],
-            "window_frames": [],
+            "gated_events": [], "window_frames": [],
             "t0": time.time(), "decisions": [], "fps_in": source.meta.fps,
             "writer": VideoWriter(str(out_dir / "result.mp4"), source.meta.fps)
             if self.ecfg.write_video else None,
@@ -382,6 +411,11 @@ class InferenceEngine:
                 wr = csv.writer(f)
                 wr.writerow(["frame_id", "event_type"])
                 wr.writerows(state["detector_events"])
+        if self.event_gate is not None:
+            with open(out_dir / "gated_events.csv", "w", newline="") as f:
+                wr = csv.writer(f)
+                wr.writerow(["frame_id", "event_type", "ratio", "has_burr"])
+                wr.writerows(state["gated_events"])
         if self.tracker is not None:
             with open(out_dir / "confirmed_defects.csv", "w", newline="") as f:
                 wr = csv.writer(f)
@@ -400,6 +434,7 @@ class InferenceEngine:
             "burr_frames": state["burr_frames"],
             "skipped_frames": len(state["skipped"]),
             "detector_events": len(state["detector_events"]),
+            "gated_events": len(state["gated_events"]),
             "confirmed_defects": len(state["confirmed_defects"]),
             "wrap_events": len(state["wrap_events"]),
             "ng_windows": sum(1 for d in state["decisions"] if d.result == "NG"),

@@ -170,6 +170,66 @@ def strict() -> PipelineCfg:
     )
 
 
+def three_class_best() -> PipelineCfg:
+    """3-class finetuned checkpoint path (reference infer_video_3class_best.py,
+    checkpoints_3class_finetuned mIoU 70.96%): full-frame argmax @512 with
+    real-time diameter measurement, thickness-uniformity analysis and event
+    recording (windows)."""
+    return three_class_full().replace(name="three_class_best")
+
+
+def v3_high_quality() -> PipelineCfg:
+    """High-quality 6-class variant (reference infer_video_v3_high_quality.py):
+    the checkpoints_v3 model's output channels map to class ids (0,1,2,4,5,6)
+    (its :33-36 channel table); per-class thresholds 0.60 with x1.2 cable/tape
+    mutual exclusion, defect thresholds 0.70 with open3/close5 morphology,
+    'simple 3x3 close' on cable/tape, diameter measurement."""
+    return PipelineCfg(
+        name="v3_high_quality",
+        preprocess=PreprocessCfg(model_size=(256, 256)),
+        segment=SegmentCfg(num_classes=6, threshold_mode="per_class",
+                           class_thresholds=(0.0, 0.60, 0.60, 0.70, 0.70, 0.70),
+                           ct_ratio=1.2, class_remap=(0, 1, 2, 4, 5, 6),
+                           pred_full_from_thresholds=True),
+        burr=BurrCfg(method="none"),
+        postprocess=PostprocessCfg(close_ksize=3),
+        geometry=GeometryCfg(enabled=True, analyze_defects=True,
+                             defect_classes=(4, 5, 6)),
+    )
+
+
+def spatial() -> PipelineCfg:
+    """Spatial-filter variant for severe domain shift
+    (reference infer_video_spatial.py): relative-to-background thresholds
+    (cable 2.0x, tape 2.5x bg), vertical-strip component gates at model res
+    (cable width 30-200, tape 20-150, area>1000, height>=30%), central-half
+    vertical focus band."""
+    return PipelineCfg(
+        name="spatial",
+        segment=SegmentCfg(num_classes=3, threshold_mode="relative",
+                           bg_ratio_cable=2.0, bg_ratio_tape=2.5),
+        burr=BurrCfg(method="none"),
+        postprocess=PostprocessCfg(enabled=True, mode="spatial"),
+        geometry=GeometryCfg(enabled=True),
+        roi=ROI(128, 0, 384, 512),  # central 50% focus (spatial.py:55-68)
+    )
+
+
+def roi_first() -> PipelineCfg:
+    """ROI-first variant (reference infer_video_roi.py): per-frame vertical-
+    edge-projection ROI detection, model runs on the dynamic horizontal crop,
+    ultra-strict adaptive thresholds, aspect/position CC refinement — all in
+    one static-shape jit program (the dynamic box becomes gather coords)."""
+    return PipelineCfg(
+        name="roi_first",
+        preprocess=PreprocessCfg(dynamic_roi=True),
+        segment=SegmentCfg(num_classes=3, threshold_mode="ultra_strict"),
+        burr=BurrCfg(method="none"),
+        postprocess=PostprocessCfg(enabled=True, mode="refine"),
+        geometry=GeometryCfg(enabled=True),
+    )
+
+
 def debug() -> PipelineCfg:
     """No-filter diagnostic preset (reference infer_video_debug.py:1-5):
     plain argmax, no ROI, no postprocess, no burr — 'is the model itself
@@ -194,6 +254,10 @@ PRESETS = {
     "robust": robust,
     "simple_7class": simple_7class,
     "three_class_full": three_class_full,
+    "three_class_best": three_class_best,
+    "v3_high_quality": v3_high_quality,
+    "spatial": spatial,
+    "roi_first": roi_first,
     "strict": strict,
     "debug": debug,
 }
@@ -213,9 +277,19 @@ ENGINE_HINTS = {
                        event_detector_enabled=True),
     "optimized": dict(window_enabled=True, quality_enabled=True,
                       tracker_enabled=True),
-    "robust": dict(window_enabled=True),
+    # robust: windows + the N-consecutive-confirm/cooldown EventGate
+    # (reference infer_video_robust.py:219-239)
+    "robust": dict(window_enabled=True, event_gate_enabled=True),
     "simple_7class": dict(window_enabled=True),
     "three_class_full": dict(window_enabled=True),
+    # 3class_best runs thickness-uniformity + event recording (its script's
+    # docstring feature list) -> windows
+    "three_class_best": dict(window_enabled=True),
+    "v3_high_quality": dict(window_enabled=True),
+    # spatial/roi_first are diagnostic domain-shift presets: overlays +
+    # per-frame stats only, no window aggregation in their scripts
+    "spatial": dict(window_enabled=False),
+    "roi_first": dict(window_enabled=False),
     "strict": dict(window_enabled=True),
     "debug": dict(window_enabled=False),
 }

@@ -127,13 +127,18 @@ def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     return out
 
 
-def model_input(frames_bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
+def model_input(frames_bgr: jnp.ndarray, cfg: PipelineCfg,
+                roi_bounds=None) -> jnp.ndarray:
     """BGR float frames -> normalized RGB tensor at model resolution
     (reference preprocess_image, infer_two_stage_burr.py:122-127; letterbox
-    variant infer_video_robust.py:40-61)."""
+    variant infer_video_robust.py:40-61). `roi_bounds` = per-frame (x0, x1)
+    arrays from detect_vertical_roi: the model sees the dynamic horizontal
+    crop (reference infer_video_roi.py:201-212)."""
     w, h = cfg.preprocess.model_size
     rgb = _color.bgr2rgb(frames_bgr)
-    if cfg.preprocess.letterbox:
+    if roi_bounds is not None:
+        x = _image.crop_resize_bilinear(rgb, roi_bounds[0], roi_bounds[1], (h, w))
+    elif cfg.preprocess.letterbox:
         x = _image.letterbox(rgb, (h, w))
     else:
         x = _image.resize_bilinear(rgb, (h, w))
@@ -167,9 +172,53 @@ def extract_masks(logits: jnp.ndarray, cfg: PipelineCfg):
         th = np.asarray(seg.class_thresholds, np.float32)
         cable = probs[..., seg.cable_cls] >= th[seg.cable_cls]
         tape = probs[..., seg.tape_cls] >= th[seg.tape_cls]
+        if seg.ct_ratio > 0:
+            # mutual exclusion by probability ratio: cable only where
+            # p_cable > p_tape * ratio and vice versa
+            # (reference infer_video_v3_high_quality.py predict())
+            p_c = probs[..., seg.cable_cls]
+            p_t = probs[..., seg.tape_cls]
+            return (jnp.logical_and(cable, p_c > p_t * seg.ct_ratio),
+                    jnp.logical_and(tape, p_t > p_c * seg.ct_ratio))
         # priority: higher class id wins on overlap (defect>tape>cable merge,
         # reference infer_video.py:213-216)
         cable = jnp.logical_and(cable, jnp.logical_not(tape))
+        return cable, tape
+
+    if seg.threshold_mode == "relative":
+        # relative-to-background thresholds, overlap -> higher prob wins
+        # (reference infer_video_spatial.py:71-98 relative_threshold)
+        p_bg = probs[..., 0]
+        p_c = probs[..., seg.cable_cls]
+        p_t = probs[..., seg.tape_cls]
+        cable = p_c > p_bg * seg.bg_ratio_cable
+        tape = p_t > p_bg * seg.bg_ratio_tape
+        overlap = jnp.logical_and(cable, tape)
+        cable_wins = p_c >= p_t
+        cable = jnp.where(overlap, cable_wins, cable)
+        tape = jnp.where(overlap, jnp.logical_not(cable_wins), tape)
+        return cable, tape
+
+    if seg.threshold_mode == "ultra_strict":
+        # adaptive thresholds from whole-image prob statistics + the
+        # ultra-strict gates: winner class + absolute threshold + 2x over bg
+        # + bg margin (reference infer_video_roi.py:60-126
+        # adaptive_thresholding + ultra_strict_threshold; the prints become
+        # pure arithmetic — data-dependent ifs turn into jnp.where)
+        p_bg = probs[..., 0]
+        p_c = probs[..., seg.cable_cls]
+        p_t = probs[..., seg.tape_cls]
+        mean_c = jnp.mean(p_c, axis=(-2, -1), keepdims=True)
+        mean_t = jnp.mean(p_t, axis=(-2, -1), keepdims=True)
+        mean_bg = jnp.mean(p_bg, axis=(-2, -1), keepdims=True)
+        t_cable = jnp.where(mean_c > 0.3, jnp.minimum(0.85, mean_c + 0.4), 0.5)
+        t_tape = jnp.where(mean_t > 0.15, jnp.minimum(0.85, mean_t + 0.5), 0.55)
+        bg_margin = jnp.maximum(0.2, 1.0 - mean_bg)
+        winner = jnp.argmax(probs, axis=-1)
+        cable = ((winner == seg.cable_cls) & (p_c >= t_cable)
+                 & (p_c > p_bg * 2.0) & (p_c >= p_bg + bg_margin))
+        tape = ((winner == seg.tape_cls) & (p_t >= t_tape)
+                & (p_t > p_bg * 2.0) & (p_t >= p_bg + bg_margin))
         return cable, tape
 
     if seg.threshold_mode == "exclusive":
@@ -305,6 +354,72 @@ def _burr_on_roi_crop(gray: jnp.ndarray, cable: jnp.ndarray, cfg: PipelineCfg,
 
 
 # ---------------------------------------------------------------------------
+# model-resolution CC postprocess (spatial / roi_first presets)
+# ---------------------------------------------------------------------------
+
+def spatial_strip_filter(mask: jnp.ndarray, w_bounds, p: PostprocessCfg) -> jnp.ndarray:
+    """Vertical-strip component gates at model resolution: keep components
+    with area > spatial_min_area, width within `w_bounds`, and height >=
+    H * spatial_min_height_ratio (reference spatial_filter,
+    infer_video_spatial.py:24-53; cable 30-200 px, tape 20-150 px)."""
+    H = mask.shape[-2]
+    labels = _cc.connected_components(mask)
+    st = _cc.component_stats(labels, p.max_components)
+    keep = ((st.area > p.spatial_min_area)
+            & (st.width >= w_bounds[0]) & (st.width <= w_bounds[1])
+            & (st.height >= H * p.spatial_min_height_ratio))
+    return _cc.keep_mask(labels, st, keep)
+
+
+def refine_mask_by_geometry(mask: jnp.ndarray, p: PostprocessCfg) -> jnp.ndarray:
+    """Vertical-aspect + center-position component refinement at model
+    resolution (reference refine_mask_by_geometry, infer_video_roi.py:128-167):
+    drop area < refine_min_area; drop wide-and-squat components
+    (h/w < refine_aspect while w > refine_wide_w); drop components whose
+    centroid sits within refine_edge_frac of the left/right edge unless
+    area >= refine_edge_area."""
+    W = mask.shape[-1]
+    labels = _cc.connected_components(mask)
+    st = _cc.component_stats(labels, p.max_components)
+    aspect = st.height.astype(jnp.float32) / jnp.maximum(
+        st.width.astype(jnp.float32), 1.0)
+    keep = st.area >= p.refine_min_area
+    keep = jnp.logical_and(keep, jnp.logical_not(jnp.logical_and(
+        aspect < p.refine_aspect, st.width > p.refine_wide_w)))
+    near_edge = jnp.logical_or(st.cx < W * p.refine_edge_frac,
+                               st.cx > W * (1.0 - p.refine_edge_frac))
+    keep = jnp.logical_and(keep, jnp.logical_not(jnp.logical_and(
+        near_edge, st.area < p.refine_edge_area)))
+    return _cc.keep_mask(labels, st, keep)
+
+
+def defect_map_from_thresholds(logits: jnp.ndarray, cable: jnp.ndarray,
+                               tape: jnp.ndarray, cfg: PipelineCfg,
+                               frame_hw) -> jnp.ndarray:
+    """Full class map where defect classes come from per-channel probability
+    thresholds + per-mask morphology + priority merge, NOT argmax
+    (reference infer_video_v3_high_quality.py predict(): defect_thresh 0.70,
+    open3/close5, merge order later-channel-wins over tape over cable).
+    Channel k maps to class id class_remap[k] (the 6-class v3 model's
+    channels are ids 0,1,2,4,5,6)."""
+    seg = cfg.segment
+    probs = jax.nn.softmax(logits, axis=-1)
+    remap = seg.class_remap or tuple(range(seg.num_classes))
+    out = jnp.zeros(cable.shape, jnp.uint8)
+    out = jnp.where(cable, jnp.uint8(1), out)
+    out = jnp.where(tape, jnp.uint8(2), out)
+    for k in range(3, seg.num_classes):
+        m = probs[..., k] >= seg.defect_threshold
+        if seg.defect_open_ksize:
+            m = _morph.open_(m, _morph.ellipse_kernel(seg.defect_open_ksize))
+        if seg.defect_close_ksize:
+            m = _morph.close_(m, _morph.ellipse_kernel(seg.defect_close_ksize))
+        m = _image.resize_nearest(m, frame_hw, channel_dim=False)
+        out = jnp.where(m, jnp.uint8(remap[k]), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # shape postprocess (robust preset)
 # ---------------------------------------------------------------------------
 
@@ -383,7 +498,17 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
     if cfg.preprocess.enhance:
         frames = enhance_frames(frames, cfg)
 
-    x = model_input(frames, cfg)
+    roi_bounds = None
+    if cfg.preprocess.dynamic_roi:
+        # ROI-first: per-frame vertical-projection bounds; dynamic values,
+        # static shapes (reference infer_video_roi.py:23-57)
+        pp = cfg.preprocess
+        roi_bounds = _image.detect_vertical_roi(
+            _color.bgr2gray(frames), smooth=pp.dynamic_roi_smooth,
+            rel_thresh=pp.dynamic_roi_thresh,
+            margin_frac=pp.dynamic_roi_margin)
+
+    x = model_input(frames, cfg, roi_bounds)
     if cfg.segment.fast_forward or cfg.segment.int8_scales:
         from unet_tpu.models import NestedUNet
         from unet_tpu.models import fast_forward as _ff
@@ -403,9 +528,26 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
         logits = logits[0]
     cable_m, tape_m = extract_masks(logits, cfg)
 
+    # model-resolution component postprocess (the reference spatial/roi
+    # scripts filter the small masks before paste-back)
+    if cfg.postprocess.enabled and cfg.postprocess.mode == "spatial":
+        cable_m = spatial_strip_filter(cable_m, cfg.postprocess.spatial_cable_w,
+                                       cfg.postprocess)
+        tape_m = spatial_strip_filter(tape_m, cfg.postprocess.spatial_tape_w,
+                                      cfg.postprocess)
+    elif cfg.postprocess.enabled and cfg.postprocess.mode == "refine":
+        cable_m = refine_mask_by_geometry(cable_m, cfg.postprocess)
+        tape_m = refine_mask_by_geometry(tape_m, cfg.postprocess)
+
     # masks back to frame resolution (infer_two_stage_burr.py:307-308; the
-    # letterbox path crops the content region first, robust.py:52-61)
-    if cfg.preprocess.letterbox:
+    # letterbox path crops the content region first, robust.py:52-61; the
+    # dynamic-ROI path pastes into the per-frame crop span, roi.py:238-247)
+    if roi_bounds is not None:
+        cable = _image.uncrop_resize_nearest(cable_m, roi_bounds[0],
+                                             roi_bounds[1], (H, W))
+        tape = _image.uncrop_resize_nearest(tape_m, roi_bounds[0],
+                                            roi_bounds[1], (H, W))
+    elif cfg.preprocess.letterbox:
         cable = _image.unletterbox_mask(cable_m, (H, W),
                                         cable_m.shape[-2:])
         tape = _image.unletterbox_mask(tape_m, (H, W), tape_m.shape[-2:])
@@ -413,7 +555,13 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
         cable = _image.resize_nearest(cable_m, (H, W), channel_dim=False)
         tape = _image.resize_nearest(tape_m, (H, W), channel_dim=False)
 
-    if cfg.postprocess.enabled:
+    if cfg.postprocess.close_ksize:
+        # v3's "simple 3x3 close" on cable/tape (infer_video_v3_high_quality.py)
+        se = _morph.ellipse_kernel(cfg.postprocess.close_ksize)
+        cable = _morph.close_(cable, se)
+        tape = _morph.close_(tape, se)
+
+    if cfg.postprocess.enabled and cfg.postprocess.mode == "shape":
         roi_w = W if cfg.roi is None else (cfg.roi.scaled((W, H)).x2 - cfg.roi.scaled((W, H)).x1)
         cable = filter_cable_by_shape(cable, cfg.postprocess, roi_w)
         tape = constrain_tape_to_ring(tape, cable, cfg.postprocess)
@@ -457,15 +605,24 @@ def run_pipeline(variables: Dict[str, Any], frames_bgr: jnp.ndarray,
     pred_full = None
     if cfg.segment.num_classes > 3 and (
             cfg.geometry.analyze_defects or cfg.inspect.track_defects):
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-        pred_full = _image.resize_nearest(pred, (H, W), channel_dim=False)
+        if cfg.segment.pred_full_from_thresholds:
+            pred_full = defect_map_from_thresholds(logits, cable, tape, cfg,
+                                                   (H, W))
+        else:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            if cfg.segment.class_remap:
+                pred = jnp.asarray(
+                    np.asarray(cfg.segment.class_remap, np.uint8))[pred]
+            pred_full = _image.resize_nearest(pred, (H, W), channel_dim=False)
 
     diameters = None
     if cfg.geometry.enabled:
         g = cfg.geometry
         mh, mw = cable_m.shape[-2:]
         if cfg.roi is None and not cfg.postprocess.enabled \
-                and not cfg.preprocess.letterbox and H >= mh and W >= mw:
+                and not cfg.preprocess.letterbox \
+                and not cfg.preprocess.dynamic_roi \
+                and not cfg.postprocess.close_ksize and H >= mh and W >= mw:
             # largest-CC denoise at MODEL resolution (partition-identical
             # under nearest UPscaling, min_area floor applied at frame scale)
             # — full-frame CC labeling dominated the wrap presets otherwise.
