@@ -114,6 +114,43 @@ def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32),
     return best
 
 
+def _multistream_bench(streams=8, frames_per_stream=48):
+    """The ACTUAL MultiStreamServer (cli serve): N reader threads feeding one
+    fixed-slot compiled step. Unlike _pipeline_bench this includes per-batch
+    host batch assembly + H->D upload, so through this dev relay tunnel it is
+    upload-capped; reported as an extra next to the device-resident number."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import get_preset
+    from unet_tpu.serve import MultiStreamServer
+
+    cfg = get_preset("wrap_7class").replace_in("segment", fast_forward=True)
+    model = NestedUNet(num_classes=cfg.segment.num_classes,
+                       deep_supervision=True, dtype=jnp.bfloat16)
+    w, h = cfg.preprocess.model_size
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+                           train=False)
+    frames = _synthetic_frames(np.random.default_rng(3), frames_per_stream,
+                               h=h, w=w)
+
+    class MemSource:
+        def __init__(self, n):
+            self.n = n
+
+        def frames(self):
+            for i in range(self.n):
+                yield i + 1, frames[i % len(frames)]
+
+    server = MultiStreamServer(model, variables, cfg, max_in_flight=4)
+    sink = lambda r: None  # noqa: E731
+    server.serve([MemSource(4) for _ in range(streams)], sink)  # warm compile
+    summary = server.serve([MemSource(frames_per_stream)
+                            for _ in range(streams)], sink)
+    return summary["fps"]
+
+
 def config1():
     """Single 512x512 3-class forward on CPU (reference infer_video_simple
     path, BASELINE config 1)."""
@@ -227,6 +264,8 @@ def main(argv=None) -> None:
         fps, batch, med = _pipeline_bench("wrap_7class", {}, batches=(8, 16, 32),
                                           int8=args.int8)
         name = f"wrap_7class_batched{tag}_fps(batch={batch})"
+        extra["multistream_server_fps(streams=8)"] = round(
+            _multistream_bench(), 2)
 
     print(json.dumps({
         "metric": name,

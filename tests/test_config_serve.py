@@ -139,3 +139,46 @@ def test_multistream_fixed_slots_single_compile():
     assert by_stream[0] == list(range(1, 8))
     assert by_stream[1] == [1, 2]
     assert by_stream[2] == list(range(1, 6))  # slow stream loses no frames
+
+
+def test_cli_serve_e2e(tmp_path):
+    """VERDICT r2 item 4: `cli serve` drives MultiStreamServer end-to-end —
+    3 unequal-length mixed-resolution streams, per-stream results.csv /
+    events.jsonl / wrap_uniformity.csv, aggregate serve_summary.json."""
+    import json
+
+    import cv2
+
+    from unet_tpu.cli.main import main as cli_main
+
+    sizes = {"a": (5, (48, 64)), "b": (3, (64, 80)), "c": (4, (48, 64))}
+    dirs = []
+    rng = np.random.default_rng(0)
+    for name, (n, (h, w)) in sizes.items():
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(n):
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"f{i:03d}.png"), img)
+        dirs.append(str(d))
+
+    out = tmp_path / "out"
+    rc = cli_main(["serve", "--videos", *dirs, "--output", str(out),
+                   "--preset", "wrap_7class", "--model-size", "32"])
+    assert rc == 0
+
+    summary = json.loads((out / "serve_summary.json").read_text())
+    assert summary["frames"] == 12
+    assert [s["frames"] for s in summary["streams"]] == [5, 3, 4]
+    for sid, name in enumerate(sizes):
+        sdir = out / f"stream_{sid:02d}_{name}"
+        rows = (sdir / "results.csv").read_text().strip().splitlines()
+        assert rows[0].startswith("frame_id,cable_px,tape_px,burr_px,dc_px")
+        n = sizes[name][0]
+        assert len(rows) == 1 + n
+        assert [int(r.split(",")[0]) for r in rows[1:]] == list(range(1, n + 1))
+        # wrap preset has geometry enabled -> dc/dt populated + uniformity CSV
+        assert rows[1].split(",")[4] != ""
+        assert (sdir / "wrap_uniformity.csv").exists()
+        assert (sdir / "events.jsonl").exists()
+        assert json.loads((sdir / "summary.json").read_text())["frames"] == n

@@ -222,6 +222,39 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve N videos/cameras through one fixed-batch compiled step
+    (serve/multistream.py). The reference would need one process per video;
+    here every stream is a slot in a single device batch."""
+    _ensure_backend()
+    import json as _json
+
+    from unet_tpu.pipeline import get_preset
+    from unet_tpu.serve.service import open_sources, serve_streams
+
+    cfg = get_preset(args.preset)
+    if args.model_size:
+        cfg = cfg.replace_in(
+            "preprocess", model_size=(args.model_size, args.model_size))
+    w, h = cfg.preprocess.model_size
+    model, variables, num_classes, arch = _load_model(
+        args, cfg.segment.num_classes, init_hw=(h, w))
+    if num_classes != cfg.segment.num_classes:
+        cfg = cfg.replace_in("segment", num_classes=num_classes)
+    if arch == "nested_unet":
+        cfg = cfg.replace_in("segment", fast_forward=True)
+
+    named = open_sources(args.videos, args.cameras,
+                         frame_stride=args.frame_stride,
+                         max_frames=args.max_frames)
+    print(f"serving {len(named)} streams "
+          f"({', '.join(n for n, _ in named)}) -> {args.output}")
+    summary = serve_streams(model, variables, cfg, named, args.output,
+                            burr_event_px=args.burr_event_px)
+    print(_json.dumps(summary, indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -510,6 +543,25 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     pk.add_argument("--image-size", type=int, default=512)
     pk.set_defaults(fn=cmd_tools)
+
+    pm = sub.add_parser(
+        "serve", help="serve N videos/cameras through one batched device step")
+    pm.add_argument("--videos", nargs="*", default=[],
+                    help="video files and/or image dirs, one stream each")
+    pm.add_argument("--cameras", nargs="*", default=[],
+                    help="GigE specs <cti_path>[:serial], one stream each")
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--preset", default="wrap_7class")
+    pm.add_argument("--model", default=None, help=".pth or orbax checkpoint dir")
+    pm.add_argument("--arch", default="nested_unet")
+    pm.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    pm.add_argument("--model-size", type=int, default=None)
+    pm.add_argument("--frame-stride", type=int, default=1)
+    pm.add_argument("--max-frames", type=int, default=None,
+                    help="per-stream cap (required for endless cameras)")
+    pm.add_argument("--burr-event-px", type=int, default=50,
+                    help="burr pixel count that logs an events.jsonl entry")
+    pm.set_defaults(fn=cmd_serve)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
     pb.add_argument("--config", type=int, default=2,

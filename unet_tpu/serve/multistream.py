@@ -14,6 +14,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -31,6 +32,9 @@ class StreamResult:
     tape_px: int
     burr_px: int
     class_map: Optional[np.ndarray] = None
+    # filled when the pipeline has geometry enabled (wrap-uniformity serving)
+    dc_px: Optional[float] = None
+    dt_px: Optional[float] = None
 
 
 class MultiStreamServer:
@@ -42,7 +46,8 @@ class MultiStreamServer:
 
     def __init__(self, model, variables, cfg: PipelineCfg,
                  mesh=None, return_class_map: bool = False,
-                 queue_depth: int = 8, starvation_timeout: float = 0.02):
+                 queue_depth: int = 8, starvation_timeout: float = 0.02,
+                 max_in_flight: int = 2):
         self.variables = variables
         self.cfg = cfg
         self.return_class_map = return_class_map
@@ -56,6 +61,10 @@ class MultiStreamServer:
         self.step = step
         self.queue_depth = queue_depth
         self.starvation_timeout = starvation_timeout
+        # dispatched-but-unconsumed device batches: JAX dispatch is async, so
+        # keeping a couple of batches in flight overlaps host batch assembly
+        # with device compute instead of syncing after every dispatch
+        self.max_in_flight = max(int(max_in_flight), 1)
         self._queues: List[queue.Queue] = []
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
@@ -86,8 +95,30 @@ class MultiStreamServer:
         live = [True] * n                              # reader still producing
         pending: List[Optional[tuple]] = [None] * n    # fetched, unprocessed
         last: List[Optional[np.ndarray]] = [None] * n  # pad for starved slots
+        in_flight: deque = deque()                     # (fresh_meta, out)
         processed = 0
         batches = 0
+
+        def consume(fresh_meta, out) -> None:
+            nonlocal processed
+            cable = np.asarray(out.cable_px)
+            tape = np.asarray(out.tape_px)
+            burr = np.asarray(out.burr_px)
+            cmap = np.asarray(out.class_map) if self.return_class_map else None
+            dc = dt_ = None
+            if out.diameters is not None:
+                dc = np.asarray(out.diameters.dc_px)
+                dt_ = np.asarray(out.diameters.dt_px)
+            for i, fid in fresh_meta:  # padded slots' outputs are masked out
+                on_result(StreamResult(
+                    stream_id=i, frame_id=fid,
+                    cable_px=int(cable[i]), tape_px=int(tape[i]),
+                    burr_px=int(burr[i]),
+                    class_map=cmap[i] if cmap is not None else None,
+                    dc_px=None if dc is None else float(dc[i]),
+                    dt_px=None if dt_ is None else float(dt_[i])))
+                processed += 1
+
         t0 = time.time()
         while True:
             # fetch at most one frame per stream; a starved stream gets a
@@ -117,23 +148,22 @@ class MultiStreamServer:
                      for i in range(n)]
             batch = np.stack(slots)
             out = self.step(self.variables, jnp.asarray(batch))
-            cable = np.asarray(out.cable_px)
-            tape = np.asarray(out.tape_px)
-            burr = np.asarray(out.burr_px)
-            cmap = np.asarray(out.class_map) if self.return_class_map else None
-            for i in fresh:  # padded slots' outputs are masked out
+            fresh_meta = []
+            for i in fresh:
                 fid, frame = pending[i]
-                on_result(StreamResult(
-                    stream_id=i, frame_id=fid,
-                    cable_px=int(cable[i]), tape_px=int(tape[i]),
-                    burr_px=int(burr[i]),
-                    class_map=cmap[i] if cmap is not None else None))
+                fresh_meta.append((i, fid))
                 last[i] = frame
                 pending[i] = None
-                processed += 1
+            # async dispatch: results are consumed max_in_flight batches
+            # behind submission so device compute overlaps batch assembly
+            in_flight.append((fresh_meta, out))
+            if len(in_flight) > self.max_in_flight:
+                consume(*in_flight.popleft())
             batches += 1
             if max_batches is not None and batches >= max_batches:
                 break
+        while in_flight:
+            consume(*in_flight.popleft())
         self._stop.set()
         dt = time.time() - t0
         return {"frames": processed, "batches": batches,
