@@ -1,0 +1,66 @@
+"""AOT export round-trips (VERDICT r2 item 7): the FULL fused pipeline step
+serialized to StableHLO must reproduce the live pipeline's FrameOutputs, with
+a symbolic batch dimension (the reference's ONNX chain exports only the bare
+model forward, tools/export_onnx.py:18-137)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from conftest import synthetic_cable_frame
+
+
+def test_pipeline_export_roundtrip(tmp_path):
+    from unet_tpu.export import AotRunner, export_pipeline
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg, ROI, stages
+
+    cfg = PipelineCfg(
+        preprocess=PreprocessCfg(model_size=(32, 32)),
+        roi=ROI(16, 0, 112, 96, space=(128, 96)),
+    ).replace_in("segment", fast_forward=True)
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+
+    path = export_pipeline(None, str(tmp_path / "pipe.stablehlo"),
+                           cfg=cfg, variables=variables, model=model,
+                           batch=None, frame_hw=(96, 128))
+    runner = AotRunner(path)
+    live = stages.build_step(model, cfg)
+
+    # symbolic batch: one artifact serves two different batch sizes
+    for b in (2, 3):
+        frames = np.stack([synthetic_cable_frame(h=96, w=128, seed=10 + b + i)[0]
+                           for i in range(b)])
+        got = runner.run_tree(frames)
+        want = live(variables, jnp.asarray(frames))
+        assert got["class_map"].shape == (b, 96, 128)
+        np.testing.assert_array_equal(got["class_map"],
+                                      np.asarray(want.class_map))
+        for k in ("cable_px", "tape_px", "burr_px"):
+            np.testing.assert_array_equal(got[k], np.asarray(getattr(want, k)))
+
+
+def test_pipeline_export_geometry(tmp_path):
+    """Geometry-enabled preset exports its DiameterMetrics subtree."""
+    from unet_tpu.export import AotRunner, export_pipeline
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import GeometryCfg, PipelineCfg, PreprocessCfg, stages
+
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(32, 32)),
+                      geometry=GeometryCfg(enabled=True))
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    path = export_pipeline(None, str(tmp_path / "geo.stablehlo"),
+                           cfg=cfg, variables=variables, model=model,
+                           batch=2, frame_hw=(64, 64))
+    frames = np.stack([synthetic_cable_frame(h=64, w=64, cable_x=(26, 38),
+                                             seed=s)[0] for s in range(2)])
+    got = AotRunner(path).run_tree(frames)
+    want = stages.build_step(model, cfg)(variables, jnp.asarray(frames))
+    np.testing.assert_allclose(got["diameters"]["dc_px"],
+                               np.asarray(want.diameters.dc_px), rtol=1e-5)
+    np.testing.assert_allclose(got["diameters"]["dt_px"],
+                               np.asarray(want.diameters.dt_px), rtol=1e-5)

@@ -215,6 +215,13 @@ def cmd_inspect(args) -> int:
 
 def cmd_export(args) -> int:
     _ensure_backend()
+    if args.pipeline:
+        from unet_tpu.export.aot import export_pipeline
+
+        h, w = (int(v) for v in args.frame_hw.split(","))
+        export_pipeline(args.model, args.output, preset=args.pipeline,
+                        batch=args.batch, frame_hw=(h, w), arch=args.arch)
+        return 0
     from unet_tpu.export.aot import export_model
 
     export_model(args.model, args.output, arch=args.arch,
@@ -475,6 +482,12 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--input-size", type=int, default=512)
     pe.add_argument("--batch", type=int, default=None,
                     help="None = dynamic batch dim (reference export_onnx.py)")
+    pe.add_argument("--pipeline", default=None,
+                    help="export the FULL fused pipeline step for this preset "
+                         "(preprocess+forward+burr+stats) instead of the bare "
+                         "model forward")
+    pe.add_argument("--frame-hw", default="448,800",
+                    help="input frame H,W for --pipeline artifacts")
     pe.set_defaults(fn=cmd_export)
 
 

@@ -1,2 +1,2 @@
 """AOT export (StableHLO via jax.export) + runner."""
-from unet_tpu.export.aot import export_model, AotRunner  # noqa: F401
+from unet_tpu.export.aot import AotRunner, export_model, export_pipeline  # noqa: F401

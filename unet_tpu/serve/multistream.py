@@ -85,6 +85,7 @@ class MultiStreamServer:
         import jax.numpy as jnp
 
         n = len(sources)
+        self._stop.clear()  # serve() is reusable (e.g. warmup then measure)
         self._queues = [queue.Queue(maxsize=self.queue_depth) for _ in range(n)]
         self._threads = [threading.Thread(target=self._reader, args=(i, s),
                                           daemon=True)
