@@ -211,7 +211,11 @@ def config6():
     summary = engine.process_video(video)
     return {"metric": "two_stage_e2e_engine_fps(decode+upload+overlay+write)",
             "value": summary["fps"], "unit": "frames/sec",
-            "vs_baseline": round(summary["fps"] / BASELINE_FPS, 2)}
+            "vs_baseline": round(summary["fps"] / BASELINE_FPS, 2),
+            # per-leg wall breakdown (engine 3-stage pipeline): in production
+            # the steady-state e2e rate is 1000 / max(leg) ms — see PERF.md §4
+            "legs_ms_per_frame": summary["legs_ms_per_frame"],
+            "pipelined_fps_bound": summary["pipelined_fps_bound"]}
 
 
 def main(argv=None) -> None:
@@ -251,9 +255,21 @@ def main(argv=None) -> None:
                 fps, batch, med = fps8, batch8, med8
                 name = f"two_stage_800x448_int8_fps_per_chip(batch={batch})"
     elif args.config == 3:
+        # like the headline: measure BOTH shipped forwards and report the
+        # faster under its own honest name (int8 accuracy is gated by
+        # tests/test_quantized.py's mIoU-delta protocol + the CLI's
+        # agreement auto-fallback)
         fps, batch, med = _pipeline_bench("enhanced", {"enhance": True},
                                           int8=args.int8)
         name = f"enhanced_clahe_denoise{tag}_fps(batch={batch})"
+        extra[f"{'int8' if args.int8 else 'bf16'}_fps"] = round(fps, 2)
+        if not args.int8:
+            fps8, batch8, med8 = _pipeline_bench("enhanced", {"enhance": True},
+                                                 int8=True)
+            extra["int8_fps"] = round(fps8, 2)
+            if fps8 > fps:
+                fps, batch, med = fps8, batch8, med8
+                name = f"enhanced_clahe_denoise_int8_fps(batch={batch})"
     elif args.config == 4:
         # 2448x2048 source rotated 90 CCW + normalized to 800x448 on device
         # (reference infer_high_res_custom_roi.py)

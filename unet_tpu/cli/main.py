@@ -120,10 +120,22 @@ def cmd_infer(args) -> int:
         if batch is None:
             raise SystemExit(f"--int8: no frames decodable from {args.video}")
         _, frames, n_valid = batch
+        fcfg = cfg
         cfg = stages.calibrate_int8(model, variables, cfg,
                                     [frames[:max(n_valid, 1)]])
         print(f"int8: calibrated on {n_valid} frames "
               f"(stride {stride} across the video)")
+        # accuracy gate with auto-fallback: int8 must agree with the float
+        # pipeline on the calibration sample (the labeled-data gate lives in
+        # tests/test_quantized.py: mIoU delta <= 0.5%)
+        agree = stages.validate_int8(model, variables, fcfg, cfg,
+                                     frames[:min(max(n_valid, 1), 8)])
+        if agree < 0.995:
+            print(f"int8: class-map agreement {agree:.4f} < 0.995 on this "
+                  f"video; falling back to the bf16 forward")
+            cfg = fcfg
+        else:
+            print(f"int8: class-map agreement {agree:.4f} (gate 0.995)")
 
     hints = engine_hints(args.preset)
     if args.window is not None:

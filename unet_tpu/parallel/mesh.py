@@ -86,7 +86,13 @@ def shard_pipeline_step(step_fn, mesh: Mesh, spatial: bool = False):
 
 
 def put_batch(mesh: Mesh, images, labels=None, spatial: bool = True):
-    """Host arrays -> device-sharded arrays."""
+    """Host arrays -> device-sharded arrays. Under multi-host (DCN) execution
+    the inputs are this process's local batch slice (multihost.
+    ProcessShardedLoader) and assemble into one global array; single-host
+    inputs are the full batch."""
+    if jax.process_count() > 1:
+        from unet_tpu.parallel import multihost
+        return multihost.global_put_batch(mesh, images, labels, spatial)
     im = jax.device_put(images, batch_sharding(mesh, spatial))
     if labels is None:
         return im

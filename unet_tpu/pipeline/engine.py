@@ -197,6 +197,7 @@ class InferenceEngine:
 
     def _consume(self, ids: List[int], frames: np.ndarray, n_valid: int,
                  out, state: Dict[str, Any]) -> None:
+        t_dl = time.perf_counter()
         class_map = np.asarray(out.class_map)
         cable_px = np.asarray(out.cable_px)
         tape_px = np.asarray(out.tape_px)
@@ -210,6 +211,10 @@ class InferenceEngine:
         if out.diameters is not None:
             dc_all = np.asarray(out.diameters.dc_px)
             dt_all = np.asarray(out.diameters.dt_px)
+        t_host = time.perf_counter()
+        # 'download' includes any device compute not yet drained: the first
+        # np.asarray blocks until this batch's step finishes
+        state["legs"]["download"] += t_host - t_dl
         h, w = class_map.shape[-2:]
 
         roi = None
@@ -331,6 +336,7 @@ class InferenceEngine:
                 print(f"[{state['processed']:4d}] Frame {fid} {status} | "
                       f"Cable:{cable_ratio:5.1f}% Tape:{tape_ratio:5.1f}% "
                       f"Burr:{burr_ratio:5.1f}%")
+        state["legs"]["host"] += time.perf_counter() - t_host
 
     # -- main loop -----------------------------------------------------------
 
@@ -355,6 +361,8 @@ class InferenceEngine:
             "processed": 0, "burr_frames": 0, "csv_rows": [], "skipped": [],
             "detector_events": [], "confirmed_defects": [], "wrap_events": [],
             "gated_events": [], "window_frames": [],
+            "legs": {"decode": 0.0, "upload": 0.0, "dispatch": 0.0,
+                     "download": 0.0, "host": 0.0},
             "t0": time.time(), "decisions": [], "fps_in": source.meta.fps,
             "writer": VideoWriter(str(out_dir / "result.mp4"), source.meta.fps)
             if self.ecfg.write_video else None,
@@ -373,25 +381,89 @@ class InferenceEngine:
         if self.ecfg.wrap_monitor_enabled and not self.cfg.geometry.enabled:
             raise ValueError("wrap_monitor_enabled requires cfg.geometry.enabled")
 
-        import jax.numpy as jnp
+        # 3-stage host pipeline: decode thread -> upload thread -> dispatch +
+        # consume (main). Decode of batch N+2 overlaps the H->D transfer of
+        # N+1 overlaps device compute / overlay / write of N — the reference's
+        # loop is strictly sequential per frame (infer_two_stage_burr.py:269).
+        # Per-leg wall time lands in state["legs"] (summary + bench config 6).
+        import queue as _queue
+        import threading as _threading
+
+        import jax
+
+        decode_q: _queue.Queue = _queue.Queue(maxsize=2)
+        upload_q: _queue.Queue = _queue.Queue(
+            maxsize=max(self.ecfg.max_in_flight, 1))
+        errors: List[BaseException] = []
+        legs = state["legs"]
+
+        def decoder():
+            try:
+                it = source.batches(self.ecfg.batch)
+                while True:
+                    t0 = time.perf_counter()
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    legs["decode"] += time.perf_counter() - t0
+                    decode_q.put(item)
+            except BaseException as e:  # surface decode failures in main
+                errors.append(e)
+            finally:
+                decode_q.put(None)
+
+        def uploader():
+            prev_last: Optional[np.ndarray] = None
+            try:
+                while True:
+                    item = decode_q.get()
+                    if item is None:
+                        break
+                    ids, frames, n_valid = item
+                    t0 = time.perf_counter()
+                    fr_dev = jax.device_put(frames)
+                    prev_dev = None
+                    if self.cfg.inspect.quality_stats:
+                        # previous batch's last frame -> cross-batch motion
+                        # diff (first batch diffs frame 0 against itself,
+                        # like the reference, infer_video.py:101-104)
+                        prev = frames[:1] if prev_last is None else prev_last
+                        prev_dev = jax.device_put(prev)
+                        prev_last = frames[n_valid - 1:n_valid].copy()
+                    legs["upload"] += time.perf_counter() - t0
+                    upload_q.put((ids, frames, n_valid, fr_dev, prev_dev))
+            except BaseException as e:
+                errors.append(e)
+            finally:
+                upload_q.put(None)
+
+        threads = [_threading.Thread(target=decoder, daemon=True),
+                   _threading.Thread(target=uploader, daemon=True)]
+        for t in threads:
+            t.start()
+
         in_flight: deque = deque()
-        prev_last: Optional[np.ndarray] = None
-        for ids, frames, n_valid in source.batches(self.ecfg.batch):
-            if self.cfg.inspect.quality_stats:
-                # previous batch's last frame -> cross-batch motion diff
-                # (first batch diffs frame 0 against itself, like the
-                # reference's first frame, infer_video.py:101-104)
-                prev = frames[:1] if prev_last is None else prev_last
-                out = self.step(self.variables, jnp.asarray(frames),
-                                prev_frame_bgr=jnp.asarray(prev))
-                prev_last = frames[n_valid - 1:n_valid].copy()
+        while True:
+            item = upload_q.get()
+            if item is None:
+                break
+            ids, frames, n_valid, fr_dev, prev_dev = item
+            t0 = time.perf_counter()
+            if prev_dev is not None:
+                out = self.step(self.variables, fr_dev, prev_frame_bgr=prev_dev)
             else:
-                out = self.step(self.variables, jnp.asarray(frames))
+                out = self.step(self.variables, fr_dev)
+            legs["dispatch"] += time.perf_counter() - t0
             in_flight.append((ids, frames, n_valid, out))
             if len(in_flight) > self.ecfg.max_in_flight:
                 self._consume(*in_flight.popleft(), state)
         while in_flight:
             self._consume(*in_flight.popleft(), state)
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
 
         if state["writer"] is not None:
             state["writer"].close()
@@ -427,10 +499,22 @@ class InferenceEngine:
                                  f"{c['confidence']:.2f}"])
 
         elapsed = time.time() - state["t0"]
+        n = max(state["processed"], 1)
+        legs_ms = {k: round(v * 1000 / n, 3) for k, v in state["legs"].items()}
+        # with all three pipeline stages overlapped, steady-state throughput
+        # is bound by the slowest leg (decode | upload | main-thread
+        # dispatch+download+host); 'download' includes waiting out device
+        # compute, so this is the e2e projection incl. the device step
+        bottleneck = max(legs_ms["decode"], legs_ms["upload"],
+                         legs_ms["dispatch"] + legs_ms["download"]
+                         + legs_ms["host"])
         summary = {
             "processed": state["processed"],
             "elapsed_sec": round(elapsed, 2),
             "fps": round(state["processed"] / elapsed, 2) if elapsed > 0 else 0.0,
+            "legs_ms_per_frame": legs_ms,
+            "pipelined_fps_bound": round(1000.0 / bottleneck, 2)
+            if bottleneck > 0 else None,
             "burr_frames": state["burr_frames"],
             "skipped_frames": len(state["skipped"]),
             "detector_events": len(state["detector_events"]),

@@ -718,3 +718,17 @@ def calibrate_int8(model: Any, variables: Dict[str, Any], cfg: PipelineCfg,
     scales = _q.calibrate(variables,
                           (pre(jnp.asarray(b)) for b in frame_batches))
     return cfg.replace_in("segment", int8_scales=scales)
+
+
+def validate_int8(model: Any, variables: Dict[str, Any], cfg: PipelineCfg,
+                  qcfg: PipelineCfg, frames) -> float:
+    """Class-map agreement between the float and int8 pipelines on held-out
+    frames — the online proxy for the offline mIoU-delta gate
+    (tests/test_quantized.py gates mIoU(int8) within 0.5 % of bf16 on labeled
+    data; unlabeled video can only compare the two predictions). Callers
+    should fall back to the float path below ~0.995 agreement."""
+    frames = jnp.asarray(frames)
+    ref = build_step(model, cfg)(variables, frames)
+    out = build_step(model, qcfg)(variables, frames)
+    return float((np.asarray(out.class_map)
+                  == np.asarray(ref.class_map)).mean())
