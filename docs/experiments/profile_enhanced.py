@@ -7,9 +7,15 @@ footing. Each sub-program includes a tiny sum so a real value is pulled back
 
 Run: timeout 590 python docs/experiments/profile_enhanced.py
 """
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# NB: sys.path, not PYTHONPATH — a PYTHONPATH entry breaks this image's
+# axon PJRT plugin discovery (backend 'axon' not in known backends)
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from unet_tpu.core.config import enable_compilation_cache
 
