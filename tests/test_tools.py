@@ -345,3 +345,101 @@ def test_cli_infer_int8(tmp_path, rng, capsys):
     assert "int8: calibrated on" in out
     rows = open(tmp_path / "out" / "events.csv").read().splitlines()
     assert len(rows) == 7  # header + 6 frames
+
+
+def _drag(sess, x1, y1, x2, y2):
+    from unet_tpu.tools import interactive as I
+    sess.on_mouse(I.MOUSE_DOWN, x1, y1)
+    sess.on_mouse(I.MOUSE_MOVE, (x1 + x2) // 2, (y1 + y2) // 2)
+    sess.on_mouse(I.MOUSE_UP, x2, y2)
+
+
+def test_interactive_annotation_session(tmp_path, rng):
+    """The mouse-UI state machine (reference tools/annotate_burr.py:38-140)
+    driven headlessly: drag/undo/clear/skip keys, persistence through the
+    same burr_annotations.json store as the headless CLI path."""
+    import cv2
+
+    from unet_tpu.tools import interactive as I
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(frames / f"frame_{i:06d}.jpg"),
+                    (rng.random((64, 96, 3)) * 255).astype(np.uint8))
+    out = str(tmp_path / "ann")
+
+    sess = I.AnnotationSession(str(frames), out)
+    assert (sess.idx, sess.filename) == (0, "frame_000000.jpg")
+    _drag(sess, 10, 12, 40, 30)
+    _drag(sess, 60, 20, 80, 40)
+    _drag(sess, 50, 5, 55, 8)          # too small -> dropped (MIN_BOX_SIDE)
+    assert sess.boxes == [[10, 12, 40, 30], [60, 20, 80, 40]]
+    assert sess.on_key(ord("u")) == "undo"      # undo last box
+    assert sess.boxes == [[10, 12, 40, 30]]
+    assert sess.on_key(I.KEY_SPACE) == "next"   # save + advance
+    assert sess.idx == 1
+    _drag(sess, 5, 5, 30, 30)
+    assert sess.on_key(ord("c")) == "clear"
+    assert sess.boxes == []
+    assert sess.on_key(ord("n")) == "skip"      # record empty + advance
+    assert sess.idx == 2
+    assert sess.on_key(I.KEY_LEFT) == "prev"    # back to frame 1, stored boxes
+    assert sess.idx == 1 and sess.boxes == []
+    assert sess.on_key(I.KEY_RIGHT) == "next"
+    assert sess.on_key(ord("q")) == "quit" and sess.done
+
+    ann = json.loads((tmp_path / "ann" / "burr_annotations.json").read_text())
+    assert ann["0"] == {"filename": "frame_000000.jpg",
+                        "burr_regions": [[10, 12, 40, 30]]}
+    assert ann["1"]["burr_regions"] == []
+    # drag rectangles render; render() returns a drawable frame
+    sess2 = I.AnnotationSession(str(frames), out)
+    assert sess2.boxes == [[10, 12, 40, 30]]    # reloads prior annotations
+    assert sess2.render().shape == (64, 96, 3)
+
+
+def test_interactive_roi_and_scale_sessions(tmp_path, rng):
+    from unet_tpu.tools import interactive as I
+    from unet_tpu.tools import load_roi_json
+
+    frame = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+
+    roi_path = str(tmp_path / "roi.json")
+    sess = I.RoiCalibrationSession(frame, out_path=roi_path)
+    _drag(sess, 30, 10, 10, 50)  # reversed corners normalize
+    assert sess.roi == {"x": 10, "y": 10, "w": 20, "h": 40}
+    assert sess.on_key(ord("r")) == "reset" and sess.roi is None
+    _drag(sess, 12, 8, 44, 40)
+    assert sess.on_key(ord("s")) == "save" and sess.done and sess.saved
+    assert load_roi_json(roi_path) == {"mode": "fixed", "x": 12, "y": 8,
+                                       "w": 32, "h": 32}
+    assert sess.render().shape == frame.shape
+
+    sc = I.ScaleCalibrationSession(frame, known_mm=50.0)
+    sc.on_mouse(I.MOUSE_DOWN, 10, 10)
+    sc.on_mouse(I.MOUSE_DOWN, 10, 110)  # 100 px apart
+    assert sc.done and sc.mm_per_px == pytest.approx(0.5)
+    assert sc.render().shape == frame.shape
+
+
+def test_interactive_needs_display(tmp_path, rng, monkeypatch):
+    """run_window refuses gracefully on a headless host; the CLI surfaces
+    the headless alternatives."""
+    import cv2
+
+    from unet_tpu.tools import interactive as I
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    assert not I.gui_available()
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    cv2.imwrite(str(frames / "frame_000000.jpg"),
+                (rng.random((32, 48, 3)) * 255).astype(np.uint8))
+    sess = I.AnnotationSession(str(frames), str(tmp_path / "ann"))
+    with pytest.raises(RuntimeError, match="headless"):
+        I.run_window(sess)
+    with pytest.raises(RuntimeError, match="headless"):
+        _cli(["tools", "annotate", "--interactive",
+              "--frames-dir", str(frames), "--out", str(tmp_path / "ann")])

@@ -306,8 +306,65 @@ _TOOL_REQUIRES = {
 }
 
 
+def _cmd_tools_interactive(args) -> int:
+    """Mouse-driven variants of annotate / calibrate-roi / calibrate-scale
+    (reference tools/annotate_burr.py, tools/calibrate_roi.py,
+    tools/calibrate_scale.py). Sessions are the event state machines in
+    tools/interactive.py; this just attaches them to a cv2 window."""
+    import json as _json
+
+    from unet_tpu.tools import interactive as I
+
+    def first_frame():
+        import cv2
+        if args.video:
+            cap = cv2.VideoCapture(args.video)
+            ok, frame = cap.read()
+            cap.release()
+            if not ok:
+                raise SystemExit(f"cannot read a frame from {args.video}")
+            return frame
+        if args.filename:
+            im = cv2.imread(args.filename)
+            if im is None:
+                raise SystemExit(f"cannot read {args.filename}")
+            return im
+        raise SystemExit("--video or --filename is required")
+
+    if args.tool == "annotate":
+        if not (args.frames_dir and args.out):
+            raise SystemExit("annotate --interactive needs --frames-dir + --out")
+        sess = I.AnnotationSession(args.frames_dir, args.out)
+        I.run_window(sess, window="annotate burrs")
+        print(f"{len(sess.annotations)} frames annotated -> {args.out}")
+    elif args.tool == "calibrate-roi":
+        sess = I.RoiCalibrationSession(first_frame(),
+                                       out_path=args.out or "roi.json")
+        I.run_window(sess, window="calibrate ROI")
+        print(f"ROI: {sess.roi}" + (f" -> {sess.out_path}" if sess.saved
+                                    else " (not saved)"))
+    elif args.tool == "calibrate-scale":
+        if args.known_mm is None:
+            raise SystemExit("calibrate-scale --interactive needs --known-mm")
+        sess = I.ScaleCalibrationSession(first_frame(), args.known_mm)
+        I.run_window(sess, window="calibrate scale")
+        if sess.mm_per_px is None:
+            raise SystemExit("need two clicked points")
+        out = {"mm_per_px": sess.mm_per_px, "known_mm": args.known_mm}
+        print(_json.dumps(out))
+        if args.out:
+            from pathlib import Path
+            Path(args.out).write_text(_json.dumps(out, indent=2))
+    else:
+        raise SystemExit(f"tools {args.tool} has no --interactive mode")
+    return 0
+
+
 def cmd_tools(args) -> int:
     from unet_tpu import tools as T
+
+    if getattr(args, "interactive", False):
+        return _cmd_tools_interactive(args)
 
     for req in _TOOL_REQUIRES.get(args.tool, []):
         names = req if isinstance(req, tuple) else (req,)
@@ -561,6 +618,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dir holding burr_annotations.json (annotate-to-labelme)")
     pk.add_argument("--label", default="burr_defect",
                     help="labelme class label (annotate-to-labelme)")
+    pk.add_argument("--interactive", action="store_true",
+                    help="mouse-driven cv2 window (annotate / calibrate-roi /"
+                         " calibrate-scale); needs a display — headless hosts"
+                         " use the flag-driven variants")
+    pk.add_argument("--frames-dir", default=None,
+                    help="extracted-frames dir (annotate --interactive)")
     pk.add_argument("--ckpt-dir", default=None,
                     help="checkpoint dir (summarize-checkpoints)")
     pk.add_argument("--model", default=None)

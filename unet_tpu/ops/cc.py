@@ -49,6 +49,26 @@ def _batched(fn, x, *rest):
     return jax.tree.map(lambda o: o.reshape(lead + o.shape[1:]), out)
 
 
+def _pallas_ok(c: int, h: int, w: int) -> bool:
+    """Use the single-launch Pallas propagation kernel (ops/cc_pallas.py)?
+    On TPU the XLA while_loop body issues ~50 kernels per iteration and the
+    per-launch floor dominates (docs/PERF.md §1); the Pallas kernel runs the
+    whole fixpoint in one launch. CPU (tests) keeps the XLA path.
+    UNET_TPU_CC_PALLAS=0 forces the XLA path everywhere."""
+    import os
+    mode = os.environ.get("UNET_TPU_CC_PALLAS", "1")
+    if mode == "0":
+        return False
+    if mode != "force":  # "force" = pallas even off-TPU (interpret mode, tests)
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:  # pragma: no cover - backend probing never raises
+            return False
+    from unet_tpu.ops import cc_pallas
+    return cc_pallas.supported(c, h, w)
+
+
 def _shift_axis(x: jnp.ndarray, d: int, axis: int, fill) -> jnp.ndarray:
     """out[i] = x[i - d] along `axis` (static d, either sign); OOB = fill."""
     n = x.shape[axis]
@@ -169,6 +189,19 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     Label *values* differ from cv2's 1..N compaction but partition pixels
     identically (verified against cv2.connectedComponents in tests).
     """
+    H, W = mask.shape[-2:]
+    if _pallas_ok(1, H, W):
+        from unet_tpu.ops import cc_pallas
+        lead = mask.shape[:-2]
+        fg = mask.reshape((-1, H, W)).astype(jnp.bool_)
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+               + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+        state0 = jnp.broadcast_to(idx[None, None], (fg.shape[0], 1, H, W))
+        out = cc_pallas.propagate(state0, fg, pool_iters=16,
+                                  max_iters=max_iters,
+                                  connectivity=connectivity)
+        lab = jnp.where(fg, out[:, 0], jnp.int32(-1))
+        return lab.reshape(lead + (H, W))
     return _batched(lambda m: _cc_single(m, connectivity, max_iters), mask)
 
 
@@ -357,6 +390,38 @@ def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 4,
     return labels, min_r, -s[1], s[2], -s[3], rank
 
 
+def _cc_bbox_batched(mb: jnp.ndarray, max_iters: int, with_rank: bool):
+    """Batched fused label/bbox(/rank) propagation: one Pallas launch on TPU
+    (ops/cc_pallas.py), vmapped XLA while_loop elsewhere. Returns
+    (labels, min_r, max_r, min_c, max_c, rank) with _cc_bbox_single's exact
+    semantics; rank is None when with_rank is False."""
+    B, H, W = mb.shape
+    C = 5 if with_rank else 4
+    if _pallas_ok(C, H, W):
+        from unet_tpu.ops import cc_pallas
+        fg = mb.astype(jnp.bool_)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        lab = rows * W + cols
+        chans = [jnp.broadcast_to(lab[None], (B, H, W)),
+                 jnp.broadcast_to(-rows[None], (B, H, W)),
+                 jnp.broadcast_to(cols[None], (B, H, W)),
+                 jnp.broadcast_to(-cols[None], (B, H, W))]
+        if with_rank:
+            heads = jax.vmap(_run_heads)(fg)
+            chans.append(jnp.cumsum(
+                heads.reshape(B, -1).astype(jnp.int32), axis=-1
+            ).reshape(B, H, W))
+        state0 = jnp.stack(chans, axis=1)
+        s = cc_pallas.propagate(state0, fg, pool_iters=4, max_iters=max_iters)
+        labels = jnp.where(fg, s[:, 0], jnp.int32(-1))
+        min_r = jnp.where(fg, s[:, 0] // W, 0)
+        return (labels, min_r, -s[:, 1], s[:, 2], -s[:, 3],
+                s[:, 4] if with_rank else None)
+    return _batched(
+        lambda m: _cc_bbox_single(m, max_iters, with_rank=with_rank), mb)
+
+
 def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: int,
                                   max_aspect: float = None, min_w: int = 0,
                                   min_h: int = 0, strict_min_wh: bool = False,
@@ -370,10 +435,12 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
       * empty candidates (the common production case — the reference video
         has zero burr frames): skip everything, ~3 ms.
       * <= onehot_max_components run heads per image: area gating via exact
-        one-hot matmuls over the compact run-head-rank id carried by the
-        propagation — per-component counts accumulate in f32 (exact below
-        2^24) and the keep flag maps back as a 0/1 one-hot dot (exact in
-        bf16), so no 3.7M-element scatter or gather runs (~65 ms -> ~20 ms).
+        factorized one-hot matmuls (component id = hi*64+lo) over the compact
+        run-head-rank id carried by the propagation — per-component counts
+        accumulate in f32 (exact below 2^24) and the keep flag maps back as
+        0/1 table lookups (exact in bf16), so no 3.7M-element scatter or
+        gather runs and no operand wider than 64 lanes (measured numbers
+        in docs/PERF.md §3d).
       * pathological masks (more run heads): the scatter+gather fallback,
         bit-identical semantics.
     """
@@ -393,54 +460,68 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
                                                          height > min_h))
         return keep
 
-    def single_scatter(m):
+    def single_scatter(m, labels):
         H, W = m.shape
         hw = H * W
-        labels, mnr, mxr, mnc, mxc, _ = _cc_bbox_single(m, max_iters)
         labf = labels.reshape(-1)
         fgf = labf >= 0
         bins = jnp.where(fgf, labf, hw)
         areas = jnp.zeros(hw + 1, jnp.int32).at[bins].add(jnp.where(fgf, 1, 0))
         area_px = areas[bins].reshape(H, W)
-        keep = jnp.logical_and(area_px >= min_area, area_px <= max_area)
-        keep = jnp.logical_and(keep, keep_from_bbox(m, mnr, mxr, mnc, mxc))
-        return jnp.logical_and(m.astype(jnp.bool_), keep)
+        return jnp.logical_and(area_px >= min_area, area_px <= max_area)
 
-    def single_onehot(m):
-        # FUSION ASSUMPTION: the (H*W, K) bf16 one-hot below is never meant
-        # to materialize — XLA fuses it into both einsums (verified on the
-        # v5e measurements in docs/PERF.md §3d). If a compiler regression
-        # ever materialized it, the operand would be H*W*K*2 bytes (~2 GB at
-        # 512^2, x batch under vmap) and the burr filter would blow HBM
-        # instead of getting slower. Escape hatch: UNET_TPU_CC_NO_ONEHOT=1
-        # forces the scatter path (bit-identical semantics).
+    def single_onehot(m, labels, rank):
+        # Factorized two-level histogram: component id = hi*64 + lo, so the
+        # K-wide one-hot becomes two (H*W, 64)-ish one-hots and the
+        # per-component pixel count is ONE MXU matmul
+        #   hist[hi, lo] = sum_p oh_hi[p,hi] * oh_lo[p,lo]
+        # (bf16 0/1 operands, f32 accumulation -> exact below 2^24). The
+        # keep flag maps back as ok-table lookups through the same factors.
+        # vs the flat (H*W, K) formulation this cuts operand bytes 64x — the
+        # flat one-hot measured ~26 ms/b16 at 448x512/K=4096 on v5e (VPU
+        # fusion-bound, docs/PERF.md §3d) — and removes the materialization
+        # risk entirely (max operand is H*W x 64 bf16). Escape hatch:
+        # UNET_TPU_CC_NO_ONEHOT=1 forces the scatter path (bit-identical
+        # semantics).
         H, W = m.shape
-        K = onehot_max_components
-        labels, mnr, mxr, mnc, mxc, rank = _cc_bbox_single(
-            m, max_iters, with_rank=True)
-        comp = jnp.where(labels >= 0, rank, K)  # bg out of range -> all-zero row
-        oh = jax.nn.one_hot(comp.reshape(-1), K, dtype=jnp.bfloat16)
-        # per-component pixel counts as an MXU matmul: bf16 0/1 operands,
-        # f32 accumulation -> exact below 2^24
-        hist = jnp.einsum("p,pc->c", jnp.ones((H * W,), jnp.bfloat16), oh,
+        K = ((onehot_max_components + 63) // 64) * 64  # pad to the lane width
+        comp = jnp.where(labels >= 0, rank, K).reshape(-1)
+        # bg comp==K -> hi==K//64 is out of range -> all-zero oh_hi row
+        oh_hi = jax.nn.one_hot(comp // 64, K // 64, dtype=jnp.bfloat16)
+        oh_lo = jax.nn.one_hot(comp % 64, 64, dtype=jnp.bfloat16)
+        hist = jnp.einsum("ph,pl->hl", oh_hi, oh_lo,
                           preferred_element_type=jnp.float32)
         ok = jnp.logical_and(hist >= min_area, hist <= max_area)
-        keep_area = jnp.einsum("pc,c->p", oh, ok.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
-        keep = jnp.logical_and((keep_area > 0.5).reshape(H, W),
-                               keep_from_bbox(m, mnr, mxr, mnc, mxc))
-        return jnp.logical_and(m.astype(jnp.bool_), keep)
+        # keep[p] = ok[hi_p, lo_p]; t[p,l] = ok[hi_p, l] is 0/1, bf16-exact
+        t = jnp.einsum("ph,hl->pl", oh_hi, ok.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.bfloat16)
+        keep_area = jnp.sum(t * oh_lo, axis=-1)
+        return (keep_area > 0.5).reshape(H, W)
 
     def run(m):
+        # the expensive label/bbox/rank propagation runs ONCE per batch
+        # (single Pallas launch on TPU, XLA while_loop elsewhere) and is
+        # shared by both area-gating regimes below
         import os
-        if os.environ.get("UNET_TPU_CC_NO_ONEHOT"):
-            return _batched(single_scatter, m)
-        heads = _batched(lambda mm: jnp.sum(_run_heads(
-            mm.astype(jnp.bool_)).astype(jnp.int32)), m)
-        return jax.lax.cond(jnp.max(heads) < onehot_max_components,
-                            lambda x: _batched(single_onehot, x),
-                            lambda x: _batched(single_scatter, x),
-                            m)
+        use_onehot = not os.environ.get("UNET_TPU_CC_NO_ONEHOT")
+        lead = m.shape[:-2]
+        mb = m.reshape((-1,) + m.shape[-2:])
+        labels, mnr, mxr, mnc, mxc, rank = _cc_bbox_batched(
+            mb, max_iters, with_rank=use_onehot)
+        bbox_keep = keep_from_bbox(mb, mnr, mxr, mnc, mxc)
+        if not use_onehot:
+            area_keep = jax.vmap(single_scatter)(mb, labels)
+        else:
+            heads = jax.vmap(lambda mm: jnp.sum(_run_heads(
+                mm.astype(jnp.bool_)).astype(jnp.int32)))(mb)
+            area_keep = jax.lax.cond(
+                jnp.max(heads) < onehot_max_components,
+                lambda x: jax.vmap(single_onehot)(*x),
+                lambda x: jax.vmap(single_scatter)(x[0], x[1]),
+                (mb, labels, rank))
+        keep = jnp.logical_and(jnp.logical_and(bbox_keep, area_keep),
+                               mb.astype(jnp.bool_))
+        return keep.reshape(lead + m.shape[-2:])
 
     return jax.lax.cond(jnp.any(mask), run,
                         lambda m: jnp.zeros(m.shape, jnp.bool_),
