@@ -107,6 +107,29 @@ def test_filter_components_pallas_path_matches(rng, monkeypatch):
     assert np.array_equal(out, ref)
 
 
+def test_filter_components_pallas_under_sharding(rng, monkeypatch):
+    """The Pallas routing must compose with sharded inputs (the multichip
+    deploy path): GSPMD treats the pallas_call as an opaque replicated
+    computation, so results must stay bit-equal to the unsharded XLA path.
+    Guards against the kernel silently breaking the spatially-sharded
+    pipeline before any real pod run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mask = rng.random((4, 64, 96)) < 0.25
+    mask[1, 20:40, 10:70] = True
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "spatial"))
+    sharded = jax.device_put(
+        jnp.asarray(mask), NamedSharding(mesh, P("data", "spatial", None)))
+    monkeypatch.setenv("UNET_TPU_CC_PALLAS", "force")
+    out = np.asarray(jax.jit(
+        lambda x: _cc.filter_components_by_geometry(x, 10, 5000))(sharded))
+    monkeypatch.setenv("UNET_TPU_CC_PALLAS", "0")
+    ref = np.asarray(_cc.filter_components_by_geometry(
+        jnp.asarray(mask), 10, 5000))
+    assert np.array_equal(out, ref)
+
+
 def test_connected_components_pallas_path_matches(rng, monkeypatch):
     mask = (rng.random((2, 40, 60)) < 0.3)
     monkeypatch.setenv("UNET_TPU_CC_PALLAS", "0")
