@@ -137,3 +137,13 @@ def test_connected_components_pallas_path_matches(rng, monkeypatch):
     monkeypatch.setenv("UNET_TPU_CC_PALLAS", "force")
     out = np.asarray(_cc.connected_components(jnp.asarray(mask)))
     assert np.array_equal(out, ref)
+
+
+def test_pallas_opt_out_spellings(monkeypatch):
+    """Plausible disable spellings all force the XLA path (an operator
+    setting UNET_TPU_CC_PALLAS=false for an A/B must actually get XLA)."""
+    for off in ("0", "false", "OFF", "no", " False "):
+        monkeypatch.setenv("UNET_TPU_CC_PALLAS", off)
+        assert _cc._pallas_ok(5, 64, 64) is False
+    monkeypatch.setenv("UNET_TPU_CC_PALLAS", "FORCE")
+    assert _cc._pallas_ok(5, 64, 64) is True

@@ -386,6 +386,8 @@ def test_interactive_annotation_session(tmp_path, rng):
     assert sess.idx == 2
     assert sess.on_key(I.KEY_LEFT) == "prev"    # back to frame 1, stored boxes
     assert sess.idx == 1 and sess.boxes == []
+    assert sess.on_key(3) == "next"             # Cocoa/Qt arrow code
+    assert sess.on_key(2) == "prev" and sess.idx == 1
     assert sess.on_key(I.KEY_RIGHT) == "next"
     assert sess.on_key(ord("q")) == "quit" and sess.done
 
@@ -393,6 +395,9 @@ def test_interactive_annotation_session(tmp_path, rng):
     assert ann["0"] == {"filename": "frame_000000.jpg",
                         "burr_regions": [[10, 12, 40, 30]]}
     assert ann["1"]["burr_regions"] == []
+    # frame 2 was viewed but never annotated/skipped: quit must NOT record
+    # it as an empty (reviewed-negative) annotation
+    assert "2" not in ann
     # drag rectangles render; render() returns a drawable frame
     sess2 = I.AnnotationSession(str(frames), out)
     assert sess2.boxes == [[10, 12, 40, 30]]    # reloads prior annotations

@@ -56,8 +56,8 @@ def _pallas_ok(c: int, h: int, w: int) -> bool:
     whole fixpoint in one launch. CPU (tests) keeps the XLA path.
     UNET_TPU_CC_PALLAS=0 forces the XLA path everywhere."""
     import os
-    mode = os.environ.get("UNET_TPU_CC_PALLAS", "1")
-    if mode == "0":
+    mode = os.environ.get("UNET_TPU_CC_PALLAS", "1").strip().lower()
+    if mode in ("0", "false", "off", "no"):
         return False
     if mode != "force":  # "force" = pallas even off-TPU (interpret mode, tests)
         try:
@@ -145,6 +145,43 @@ def _min_pool(lab2d: jnp.ndarray, fg: jnp.ndarray, connectivity: int,
     return jnp.where(fg, jnp.minimum(out, masked), lab2d)
 
 
+def _label_seed(h: int, w: int) -> jnp.ndarray:
+    """Label-channel seed: the row-major linear index idx[r, c] = r*w + c.
+    Shared by the XLA and Pallas routes (the parity contract is that both
+    propagate identical seeds to the identical fixpoint)."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+
+
+def _bbox_seed_state(fg: jnp.ndarray, with_rank: bool) -> jnp.ndarray:
+    """Seed channels for the fused label/bbox(/rank) propagation: label
+    (row-major linear index), -max_r, min_c, -max_c — all segment MINIMA —
+    plus, when with_rank, the run-head-rank cumsum channel (see
+    _cc_bbox_single's docstring for why the cumsum min is a compact id).
+
+    fg: (..., H, W) bool. Returns (..., C, H, W) int32 with C = 4 or 5.
+    Single source of truth for seed construction: the XLA and Pallas routes
+    both consume this, so their bit-exact parity cannot drift."""
+    H, W = fg.shape[-2:]
+    lead = fg.shape[:-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    chans = [jnp.broadcast_to(rows * W + cols, lead + (H, W)),
+             jnp.broadcast_to(-rows, lead + (H, W)),
+             jnp.broadcast_to(cols, lead + (H, W)),
+             jnp.broadcast_to(-cols, lead + (H, W))]
+    if with_rank:
+        def rank_one(f):
+            return jnp.cumsum(
+                _run_heads(f).reshape(-1).astype(jnp.int32)).reshape(H, W)
+        if lead:
+            rank = jax.vmap(rank_one)(fg.reshape((-1, H, W)))
+            chans.append(rank.reshape(lead + (H, W)))
+        else:
+            chans.append(rank_one(fg))
+    return jnp.stack(chans, axis=-3)
+
+
 def _cc_single(mask: jnp.ndarray, connectivity: int, max_iters: int,
                pool_iters: int = 16) -> jnp.ndarray:
     """Label propagation tuned to the TPU cost model: each outer iteration is
@@ -158,9 +195,7 @@ def _cc_single(mask: jnp.ndarray, connectivity: int, max_iters: int,
     H, W = mask.shape
     fg = mask.astype(jnp.bool_)
     inf = jnp.int32(np.iinfo(np.int32).max)
-    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
-    lab = jnp.where(fg, idx, idx)
+    lab = _label_seed(H, W)
     scan_c = make_run_scanner(fg, axis=1)  # blocked ladders hoisted out of loop
     scan_r = make_run_scanner(fg, axis=0)
 
@@ -194,9 +229,8 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
         from unet_tpu.ops import cc_pallas
         lead = mask.shape[:-2]
         fg = mask.reshape((-1, H, W)).astype(jnp.bool_)
-        idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-               + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
-        state0 = jnp.broadcast_to(idx[None, None], (fg.shape[0], 1, H, W))
+        state0 = jnp.broadcast_to(_label_seed(H, W)[None, None],
+                                  (fg.shape[0], 1, H, W))
         out = cc_pallas.propagate(state0, fg, pool_iters=16,
                                   max_iters=max_iters,
                                   connectivity=connectivity)
@@ -349,16 +383,9 @@ def _cc_bbox_single(mask: jnp.ndarray, max_iters: int, pool_iters: int = 4,
     H, W = mask.shape
     fg = mask.astype(jnp.bool_)
     big = jnp.int32(np.iinfo(np.int32).max)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    lab = rows * W + cols
-    # channels: label, -max_r, min_c, -max_c (all propagate as min)
-    chans = [lab, -rows, cols, -cols]
-    if with_rank:
-        chans.append(jnp.cumsum(
-            _run_heads(fg).reshape(-1).astype(jnp.int32)).reshape(H, W))
-    C = len(chans)
-    state0 = jnp.stack(chans)
+    # channels: label, -max_r, min_c, -max_c (all propagate as min) + rank
+    state0 = _bbox_seed_state(fg, with_rank)
+    C = state0.shape[0]
     fgC = jnp.broadcast_to(fg, (C, H, W))
     scan_c = make_run_scanner(fg, axis=1)  # ladders shared by all channels
     scan_r = make_run_scanner(fg, axis=0)  # and hoisted out of the loop
@@ -400,19 +427,7 @@ def _cc_bbox_batched(mb: jnp.ndarray, max_iters: int, with_rank: bool):
     if _pallas_ok(C, H, W):
         from unet_tpu.ops import cc_pallas
         fg = mb.astype(jnp.bool_)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        lab = rows * W + cols
-        chans = [jnp.broadcast_to(lab[None], (B, H, W)),
-                 jnp.broadcast_to(-rows[None], (B, H, W)),
-                 jnp.broadcast_to(cols[None], (B, H, W)),
-                 jnp.broadcast_to(-cols[None], (B, H, W))]
-        if with_rank:
-            heads = jax.vmap(_run_heads)(fg)
-            chans.append(jnp.cumsum(
-                heads.reshape(B, -1).astype(jnp.int32), axis=-1
-            ).reshape(B, H, W))
-        state0 = jnp.stack(chans, axis=1)
+        state0 = _bbox_seed_state(fg, with_rank)
         s = cc_pallas.propagate(state0, fg, pool_iters=4, max_iters=max_iters)
         labels = jnp.where(fg, s[:, 0], jnp.int32(-1))
         min_r = jnp.where(fg, s[:, 0] // W, 0)

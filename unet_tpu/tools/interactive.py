@@ -36,7 +36,13 @@ MOUSE_UP = 4     # cv2.EVENT_LBUTTONUP
 MOUSE_MOVE = 0   # cv2.EVENT_MOUSEMOVE
 
 KEY_SPACE = ord(" ")
-KEY_LEFT = 81    # cv2 waitKey arrow codes (X11)
+# cv2 waitKey arrow codes differ by highgui backend: X11 gives 81/83 and
+# Cocoa/Qt give 2/3 — the reference tool matches both
+# (annotate_burr.py arrow handling). The X11 codes collide with 'Q'/'S';
+# that collision is inherited from the reference's key map.
+KEYS_LEFT = (81, 2)
+KEYS_RIGHT = (83, 3)
+KEY_LEFT = 81     # backwards-compat aliases (tests feed these)
 KEY_RIGHT = 83
 
 _GREEN = (0, 255, 0)
@@ -144,7 +150,12 @@ class AnnotationSession:
     def on_key(self, key: int) -> str:
         """Returns the action taken (for the window title / tests)."""
         if key == ord("q"):
-            self._save()
+            # Quit only flushes frames the user actually annotated: saving
+            # an empty record for a merely-viewed frame would mark it as a
+            # reviewed negative (the reference's 'q' likewise only flushes
+            # previously saved records, annotate_burr.py quit handling).
+            if self.boxes or str(self.idx) in self.annotations:
+                self._save()
             self.done = True
             return "quit"
         if key == KEY_SPACE:
@@ -172,10 +183,10 @@ class AnnotationSession:
                 return "quit"
             self._goto(self.idx + 1)
             return "skip"
-        if key == KEY_LEFT:
+        if key in KEYS_LEFT:
             self._goto(self.idx - 1)
             return "prev"
-        if key == KEY_RIGHT:
+        if key in KEYS_RIGHT:
             self._goto(self.idx + 1)
             return "next"
         return "noop"
@@ -293,11 +304,16 @@ class ScaleCalibrationSession:
 
 
 def gui_available() -> bool:
-    """True when cv2 can open a window (needs a display + highgui backend)."""
+    """True when cv2 can open a window. The env-var check is a Linux-only
+    fast path (X11/Wayland need a display variable; probing highgui without
+    one can abort the process in some builds) — macOS/Windows highgui opens
+    windows without either variable, so there we go straight to the probe."""
     import os
+    import sys
 
     import cv2
-    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+    if sys.platform.startswith("linux") and not (
+            os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
         return False
     try:
         cv2.namedWindow("_unet_tpu_probe", cv2.WINDOW_NORMAL)
