@@ -97,15 +97,8 @@ def prop(n):
     @jax.jit
     def f(mb):
         fg = mb.astype(jnp.bool_)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 1)
-        lab = rows * Wc + cols
-        chans = [jnp.broadcast_to(lab[None], (B, Hc, Wc)),
-                 jnp.broadcast_to(-rows[None], (B, Hc, Wc)),
-                 jnp.broadcast_to(cols[None], (B, Hc, Wc)),
-                 jnp.broadcast_to(-cols[None], (B, Hc, Wc)),
-                 jnp.broadcast_to(lab[None], (B, Hc, Wc))]
-        state0 = jnp.stack(chans, axis=1)
+        # the real seed channels (shared builder used by the shipped routes)
+        state0 = ccmod._bbox_seed_state(fg, with_rank=True)
         return cc_pallas.propagate(state0, fg, pool_iters=4, max_iters=n)
 
     return f
