@@ -421,3 +421,56 @@ def test_event_gate_blip_vs_streak(tmp_path):
     # fires on the 8th consecutive abnormal frame (1-based ids, streak at 3..10)
     assert int(rows[0]["frame_id"]) == 10
     assert float(rows[0]["ratio"]) > 1.5
+
+def test_burr_true_positive_wiring(tmp_path):
+    """Stage-2 burr detections must flow through the engine into events.csv
+    [BURR!] rows and the burr_frames counter (reference
+    infer_two_stage_burr.py:317-348). Frames with a textured protrusion off
+    the cable edge fire the canny-band stage; clean frames stay [OK]
+    (0 false positives, reference README.md:16). CC gates are the reference's
+    512^2 constants scaled to this 64^2 scene (area 30->8, w/h 3->2)."""
+    import cv2
+
+    from conftest import synthetic_cable_frame
+    from unet_tpu.pipeline import (BurrCfg, EngineConfig, InferenceEngine,
+                                   PipelineCfg, PreprocessCfg, SegmentCfg)
+
+    cable_x = (26, 38)
+    y0, hh, ww = 24, 9, 8
+    x1 = cable_x[1]
+    cable = np.zeros((64, 64), np.int32)
+    cable[:, cable_x[0]:cable_x[1]] = 1
+    cable[y0:y0 + hh, x1:x1 + ww] = 1   # mask includes the protrusion
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    clean_seeds, burr_seeds = [10, 11, 12, 13, 14], [0, 2, 3]
+    for i, seed in enumerate(clean_seeds + burr_seeds):
+        bgr, _ = synthetic_cable_frame(h=64, w=64, cable_x=cable_x,
+                                       tape_y=(0, 0), seed=seed)
+        if seed in burr_seeds:
+            r = np.random.default_rng(seed)
+            bgr[y0 - 3:y0 + hh + 3, x1 - 2:x1 + ww + 4] = r.uniform(
+                0, 255, (hh + 6, ww + 6, 3))
+            bgr[y0:y0 + hh, x1:x1 + ww] = (180, 180, 175)
+        cv2.imwrite(str(d / f"f_{i:03d}.png"), bgr)
+
+    cfg = PipelineCfg(
+        name="burr_tp",
+        preprocess=PreprocessCfg(model_size=(64, 64)),
+        segment=SegmentCfg(num_classes=3),
+        burr=BurrCfg(method="canny_band", min_area=8, min_w=2, min_h=2),
+    )
+    eng = InferenceEngine(StubModel(cable, 3), {}, cfg, EngineConfig(
+        batch=8, output_dir=str(tmp_path / "out"), write_video=False,
+        print_interval=100))
+    summary = eng.process_video(str(d))
+
+    rows = list(csv.DictReader(open(tmp_path / "out" / "events.csv")))
+    assert len(rows) == 8
+    n_clean = len(clean_seeds)
+    assert all(r["status"] == "[OK]" and int(r["burr_px"]) == 0
+               for r in rows[:n_clean])
+    assert all(r["status"] == "[BURR!]" and int(r["burr_px"]) > 0
+               for r in rows[n_clean:])
+    assert summary["burr_frames"] == len(burr_seeds)
