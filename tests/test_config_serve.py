@@ -182,3 +182,41 @@ def test_cli_serve_e2e(tmp_path):
         assert (sdir / "wrap_uniformity.csv").exists()
         assert (sdir / "events.jsonl").exists()
         assert json.loads((sdir / "summary.json").read_text())["frames"] == n
+
+def test_cli_infer_with_refactor_config(tmp_path):
+    """`cli infer --config refactor.yaml` (the reference's
+    infer_video_refactored.py --config workflow): legacy RefactorConfig YAML
+    selects the laplacian burr pipeline AND enables the EventDetector with
+    the YAML's event section."""
+    import cv2
+    import yaml
+
+    from unet_tpu.cli.main import main as cli_main
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        cv2.imwrite(str(d / f"f{i:03d}.png"),
+                    (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+
+    ref = {
+        "roi": {"mode": "fixed", "x": 8, "y": 0, "w": 48, "h": 64},
+        "postprocess": {"cable_min_area": 10},
+        "event": {"ratio_min": 1.1, "thick_wrap_frames": 2,
+                  "cooldown_frames": 4},
+        "burr": {"band_out": 6, "laplacian_threshold": 33, "min_area": 4,
+                 "max_area": 444},
+    }
+    cfgp = tmp_path / "refactor.yaml"
+    cfgp.write_text(yaml.safe_dump(ref))
+
+    out = tmp_path / "out"
+    rc = cli_main(["infer", "--video", str(d), "--output", str(out),
+                   "--config", str(cfgp), "--model-size", "32",
+                   "--batch", "3", "--no-video"])
+    assert rc == 0
+    rows = (out / "events.csv").read_text().strip().splitlines()
+    assert len(rows) == 1 + 6
+    # detector wired from the YAML event section
+    assert (out / "detector_events.csv").exists()

@@ -11,7 +11,9 @@ Run `python -m unet_tpu.cli <cmd> --help`.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
+from pathlib import Path
 from typing import Optional
 
 
@@ -64,11 +66,18 @@ def cmd_infer(args) -> int:
                                    get_preset)
     from unet_tpu.inspect import ThresholdConfig
 
-    preset_kwargs = {}
-    if args.preset == "two_stage":
-        preset_kwargs = dict(sensitivity=args.burr_sensitivity,
-                             rotate=args.rotate, normalize=args.normalize_resolution)
-    cfg = get_preset(args.preset, **preset_kwargs)
+    if args.config:
+        # pipeline YAML, or a legacy AppCfg / RefactorConfig layout
+        # (reference infer_video_refactored.py --config workflow)
+        from unet_tpu.core.config import load_pipeline_yaml
+        cfg = load_pipeline_yaml(args.config)
+    else:
+        preset_kwargs = {}
+        if args.preset == "two_stage":
+            preset_kwargs = dict(sensitivity=args.burr_sensitivity,
+                                 rotate=args.rotate,
+                                 normalize=args.normalize_resolution)
+        cfg = get_preset(args.preset, **preset_kwargs)
     if args.model_size:
         cfg = cfg.replace_in(
             "preprocess", model_size=(args.model_size, args.model_size))
@@ -137,7 +146,24 @@ def cmd_infer(args) -> int:
         else:
             print(f"int8: class-map agreement {agree:.4f} (gate 0.995)")
 
-    hints = engine_hints(args.preset)
+    if args.config:
+        hints = {}
+        if cfg.name == "refactor_cfg":
+            # the reference's refactored pipeline runs the EventDetector
+            # over the measured ratios (infer_video_refactored.py:245-380);
+            # carry the YAML's event section into the engine
+            import yaml as _yaml
+
+            from unet_tpu.inspect import EventConfig as _DetEventCfg
+            ev = (_yaml.safe_load(Path(args.config).read_text())
+                  or {}).get("event") or {}
+            allowed = {f.name for f in dataclasses.fields(_DetEventCfg)}
+            hints = dict(
+                event_detector_enabled=True,
+                event_cfg=_DetEventCfg(
+                    **{k: v for k, v in ev.items() if k in allowed}))
+    else:
+        hints = engine_hints(args.preset)
     if args.window is not None:
         hints["window_enabled"] = bool(args.window)
     if hints.get("window_enabled") and not cfg.geometry.enabled:
@@ -491,6 +517,9 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--video", required=True, help="video file or image dir")
     pi.add_argument("--output", required=True)
     pi.add_argument("--preset", default="two_stage")
+    pi.add_argument("--config", default=None,
+                    help="pipeline YAML (or legacy AppCfg/RefactorConfig "
+                         "layout) overriding --preset")
     pi.add_argument("--model", default=None, help=".pth or orbax checkpoint dir")
     pi.add_argument("--arch", default="nested_unet")
     pi.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
