@@ -70,4 +70,4 @@ for routing in ("0", "1"):
 print()
 for pname in presets:
     a, b = results[(pname, "0")], results[(pname, "1")]
-    print(f"{pname}: xla {a:.1f} -> pallas {b:.1f} FPS  ({b / a:+.1%})")
+    print(f"{pname}: xla {a:.1f} -> pallas {b:.1f} FPS  ({b / a - 1:+.1%})")
