@@ -147,3 +147,52 @@ def test_pallas_opt_out_spellings(monkeypatch):
         assert _cc._pallas_ok(5, 64, 64) is False
     monkeypatch.setenv("UNET_TPU_CC_PALLAS", "FORCE")
     assert _cc._pallas_ok(5, 64, 64) is True
+
+
+def test_hysteresis_pallas_path_matches(rng, monkeypatch):
+    """Canny hysteresis routed through the Pallas kernel (or-reachability as
+    min-propagation with strong=0/weak=1 seeds) is bit-equal to the XLA
+    while_loop path, including a serpentine weak chain that needs many
+    propagation steps and strong-only / weak-only degenerate masks."""
+    from unet_tpu.ops import edges as _edges
+
+    H, W = 64, 128
+    noise_strong = rng.random((2, H, W)) < 0.05
+    noise_weak = np.logical_and(rng.random((2, H, W)) < 0.25,
+                                np.logical_not(noise_strong))
+    snake_weak = np.zeros((1, H, W), bool)       # weak chain lit by one seed
+    snake_weak[0, 10:12, 5:100] = True
+    snake_weak[0, 12:40, 98:100] = True
+    snake_weak[0, 40:42, 20:100] = True
+    snake_strong = np.zeros((1, H, W), bool)
+    snake_strong[0, 10, 5] = True
+    only_strong = np.zeros((1, H, W), bool)
+    only_strong[0, 5:8, 5:50] = True
+    cases = [
+        (noise_strong, noise_weak),
+        (snake_strong, snake_weak),
+        (only_strong, np.zeros((1, H, W), bool)),          # no weak
+        (np.zeros((1, H, W), bool), snake_weak),           # no strong -> all off
+    ]
+    for strong, weak in cases:
+        monkeypatch.setenv("UNET_TPU_CC_PALLAS", "0")
+        ref = np.asarray(_edges.hysteresis(jnp.asarray(strong),
+                                           jnp.asarray(weak), cc_iters=64))
+        monkeypatch.setenv("UNET_TPU_CC_PALLAS", "force")
+        out = np.asarray(_edges.hysteresis(jnp.asarray(strong),
+                                           jnp.asarray(weak), cc_iters=64))
+        assert np.array_equal(out, ref)
+
+
+def test_canny_pallas_path_matches(rng, monkeypatch):
+    """Full canny (gradients + NMS + hysteresis) with the Pallas routing is
+    bit-equal to the XLA path on textured content."""
+    from unet_tpu.ops import edges as _edges
+
+    img = (rng.random((2, 56, 72)) * 255).astype(np.float32)
+    img[:, 20:36, 10:60] += 90.0
+    monkeypatch.setenv("UNET_TPU_CC_PALLAS", "0")
+    ref = np.asarray(_edges.canny(jnp.asarray(img), 50.0, 150.0))
+    monkeypatch.setenv("UNET_TPU_CC_PALLAS", "force")
+    out = np.asarray(_edges.canny(jnp.asarray(img), 50.0, 150.0))
+    assert np.array_equal(out, ref)

@@ -223,8 +223,26 @@ def hysteresis(strong: jnp.ndarray, weak: jnp.ndarray, cc_iters: int = 16,
     The scans' Kogge-Stone blocked ladders depend only on the candidate set,
     so they are built once (ops.cc.make_run_scanner) and reused by every
     direction and iteration; pools are near-free vs scans, hence pool-heavy
-    iterations (same cost model as ops.cc labeling)."""
+    iterations (same cost model as ops.cc labeling).
+
+    On TPU the fixpoint runs as ONE Pallas launch (ops/cc_pallas.propagate):
+    or-reachability is min-propagation with seeds strong=0 / weak=1 masked to
+    the candidate set — the converged value is 0 exactly on pixels whose
+    component contains a strong pixel. Unique fixpoint ⇒ bit-identical to
+    the XLA while_loop (asserted in tests/test_cc_pallas.py); same routing
+    gate and UNET_TPU_CC_PALLAS opt-out as the CC ops."""
     cand = jnp.logical_or(strong, weak)
+    H, W = cand.shape[-2:]
+    if _cc._pallas_ok(1, H, W):
+        from unet_tpu.ops import cc_pallas
+
+        lead = cand.shape[:-2]
+        fg = cand.reshape((-1, H, W))
+        seed = jnp.where(jnp.logical_and(strong, cand), 0, 1)
+        seed = seed.astype(jnp.int32).reshape((-1, 1, H, W))
+        out = cc_pallas.propagate(seed, fg, pool_iters=pool_iters,
+                                  max_iters=cc_iters, connectivity=8)
+        return jnp.logical_and(out[:, 0] == 0, fg).reshape(lead + (H, W))
     lead = cand.shape[:-2]
     scan_c = _cc.make_run_scanner(cand, axis=cand.ndim - 1,
                                   op=jnp.logical_or, fill=False)
