@@ -44,7 +44,7 @@ class NestedUNet(nn.Module):
     dtype: Any = jnp.float32
     # rematerialize ConvBlocks in the backward pass (jax.checkpoint): trades
     # ~30 % recompute for the full-res activation memory — 512^2 batch-32
-    # training exceeds HBM without it (docs/PERF.md 3e). Param tree is
+    # training exceeds HBM without it (docs/PERF.md 3e2). Param tree is
     # unchanged, so checkpoints are interchangeable with remat off.
     remat: bool = False
 
