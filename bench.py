@@ -66,7 +66,7 @@ def _throughput(step, variables, frames_host, batch, n_frames=128,
     return frames_total / times[0], frames_total / times[len(times) // 2]
 
 
-def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32),
+def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96),
                     frame_hw=(FRAME_H, FRAME_W), fast=True, int8=False):
     import jax
     import jax.numpy as jnp
@@ -242,8 +242,9 @@ def main(argv=None) -> None:
     if args.config == 2:
         # the headline measures BOTH shipped forwards — bf16 phase-packed and
         # calibrated int8 (cli infer --int8) — as SEPARATE metrics, and
-        # reports the faster under its own honest name (measured r2: bf16
-        # 252 FPS, int8 296 via chunked dispatch; int8 accuracy is gated by
+        # reports the faster under its own honest name (measured r3: bf16
+        # 327 FPS, int8 388 via chunked dispatch at batch 96, docs/PERF.md
+        # §3f; int8 accuracy is gated by
         # tests/test_quantized.py's mIoU-delta protocol)
         fps, batch, med = _pipeline_bench("two_stage", {}, int8=args.int8)
         name = f"two_stage_800x448{tag}_fps_per_chip(batch={batch})"
@@ -277,7 +278,8 @@ def main(argv=None) -> None:
                                           frame_hw=(2448, 2048), int8=args.int8)
         name = f"high_res_2448x2048{tag}_fps(batch={batch})"
     else:  # 5: 7-class wrap-uniformity, batched multi-stream (batch >= 8)
-        fps, batch, med = _pipeline_bench("wrap_7class", {}, batches=(8, 16, 32),
+        fps, batch, med = _pipeline_bench("wrap_7class", {},
+                                          batches=(8, 16, 32, 96),
                                           int8=args.int8)
         name = f"wrap_7class_batched{tag}_fps(batch={batch})"
         extra["multistream_server_fps(streams=8)"] = round(
