@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -66,7 +67,7 @@ def _throughput(step, variables, frames_host, batch, n_frames=128,
     return frames_total / times[0], frames_total / times[len(times) // 2]
 
 
-def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96),
+def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96, 128),
                     frame_hw=(FRAME_H, FRAME_W), fast=True, int8=False):
     import jax
     import jax.numpy as jnp
@@ -103,12 +104,19 @@ def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96),
     for batch in batches:
         frames = _synthetic_frames(rng, chunk * batch,
                                    h=frame_hw[0], w=frame_hw[1])
-        fps, med = _throughput(step, variables, frames[:batch], batch)
-        if fps > best[0]:
-            best = (fps, batch, med)
-        fps, med = _throughput(chunked, variables,
-                               frames.reshape((chunk, batch) + frames.shape[1:]),
-                               chunk * batch)
+        try:  # largest batches can OOM (measured: 160 does at 800x448);
+            # skip them rather than kill the official run
+            fps, med = _throughput(step, variables, frames[:batch], batch)
+            if fps > best[0]:
+                best = (fps, batch, med)
+            fps, med = _throughput(chunked, variables,
+                                   frames.reshape((chunk, batch)
+                                                  + frames.shape[1:]),
+                                   chunk * batch)
+        except Exception as e:
+            print(f"# batch {batch} skipped: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
         if fps > best[0]:
             best = (fps, batch, med)
     return best
