@@ -4,7 +4,9 @@ floors inside the program — which amortize with BATCH, same kernel count on
 bigger operands, until compute/bandwidth binds).
 
 Measures the shipped chunked two_stage + enhanced programs (bf16, Pallas CC
-routing) at batch {16, 32, 64, 96}, K=2.
+routing) at batch {16, 32, 64, 96, 128, 160}, K=2. Measured (TPU v5e,
+docs/PERF.md 3f): still rising at 128 (two_stage 331 FPS, enhanced 193);
+160 OOMs at 800x448.
 
 Run: timeout 3000 python docs/experiments/measure_batch_scaling.py
 """
@@ -42,8 +44,10 @@ variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)),
 for pname in ("two_stage", "enhanced"):
     cfg = get_preset(pname).replace_in("segment", fast_forward=True)
     chunked = stages.build_chunked_step(model, cfg)
-    for B in (16, 32, 64, 96):
-        frames = jnp.asarray(frames_np[:K * B].reshape((K, B, 448, 800, 3)))
+    for B in (16, 32, 64, 96, 128, 160):
+        reps = (K * B) // len(frames_np) + 1
+        pool = np.concatenate([frames_np] * reps)[:K * B]
+        frames = jnp.asarray(pool.reshape((K, B, 448, 800, 3)))
         try:
             out = chunked(variables, frames)
             np.asarray(out.cable_px)
