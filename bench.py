@@ -68,6 +68,7 @@ def _throughput(step, variables, frames_host, batch, n_frames=128,
 
 
 def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96, 128),
+                    chunked_only_from=96,
                     frame_hw=(FRAME_H, FRAME_W), fast=True, int8=False):
     import jax
     import jax.numpy as jnp
@@ -106,9 +107,13 @@ def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96, 128),
                                    h=frame_hw[0], w=frame_hw[1])
         try:  # largest batches can OOM (measured: 160 does at 800x448);
             # skip them rather than kill the official run
-            fps, med = _throughput(step, variables, frames[:batch], batch)
-            if fps > best[0]:
-                best = (fps, batch, med)
+            if batch < chunked_only_from:
+                # per-batch dispatch (the real-time mode) only competes at
+                # small batches; at >= 96 chunked always wins (PERF.md 3f)
+                # and skipping it halves the large-batch compile cost
+                fps, med = _throughput(step, variables, frames[:batch], batch)
+                if fps > best[0]:
+                    best = (fps, batch, med)
             fps, med = _throughput(chunked, variables,
                                    frames.reshape((chunk, batch)
                                                   + frames.shape[1:]),
