@@ -1,0 +1,60 @@
+"""Regression coverage for bench.py — the driver-run measurement artifact.
+
+bench.py normally runs on the TPU; these tests drive its helpers on CPU at
+tiny shapes to pin the sweep logic (mode selection, chunked-only threshold,
+OOM-skip guard) without the device. The preset is shrunk to a 64x64 model
+because 512^2 compiles for minutes on CPU.
+"""
+import numpy as np
+import pytest
+
+import bench
+import unet_tpu.pipeline as pipeline_mod
+
+
+@pytest.fixture()
+def small_presets(monkeypatch):
+    orig = pipeline_mod.get_preset
+
+    def small(name, **kw):
+        return orig(name, **kw).replace_in("preprocess", model_size=(64, 64))
+
+    monkeypatch.setattr(pipeline_mod, "get_preset", small)
+
+
+@pytest.mark.slow
+def test_pipeline_bench_sweep(small_presets):
+    fps, batch, med = bench._pipeline_bench(
+        "two_stage", {}, batches=(2, 4), chunked_only_from=4,
+        frame_hw=(64, 96))
+    assert fps > 0 and med > 0
+    assert batch in (2, 4)
+
+
+@pytest.mark.slow
+def test_pipeline_bench_skips_failing_batch(small_presets, monkeypatch):
+    """A batch point whose measurement raises must be skipped, not fatal —
+    the guard that keeps an OOM-ing large batch from killing the official
+    run."""
+    real = bench._throughput
+    calls = []
+
+    def throughput(step, variables, frames, batch, **kw):
+        calls.append(batch)
+        if batch >= 4:  # simulate the B>=160-style OOM at 800x448
+            raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+        return real(step, variables, frames, batch, **kw)
+
+    monkeypatch.setattr(bench, "_throughput", throughput)
+    fps, batch, med = bench._pipeline_bench(
+        "two_stage", {}, batches=(2, 4), chunked_only_from=8,
+        frame_hw=(64, 96))
+    assert batch == 2 and fps > 0
+    assert 4 in calls  # the failing point was attempted, then skipped
+
+
+def test_synthetic_frames_shape_and_content():
+    frames = bench._synthetic_frames(np.random.default_rng(0), 3, h=64, w=96)
+    assert frames.shape == (3, 64, 96, 3) and frames.dtype == np.uint8
+    # cable strip must be brighter than the background noise floor
+    assert frames[:, :, int(96 * 0.425) + 2].mean() > frames[:, :, 5].mean()
