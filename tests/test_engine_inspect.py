@@ -474,3 +474,50 @@ def test_burr_true_positive_wiring(tmp_path):
     assert all(r["status"] == "[BURR!]" and int(r["burr_px"]) > 0
                for r in rows[n_clean:])
     assert summary["burr_frames"] == len(burr_seeds)
+
+
+def test_uploader_failure_raises_instead_of_hanging(frames_dir, tmp_path,
+                                                    monkeypatch):
+    """If the upload stage dies mid-video, process_video must surface the
+    exception promptly — the 3-stage pipeline's shutdown protocol has to
+    unwedge the decoder (blocked on the bounded decode queue) rather than
+    deadlocking in thread join."""
+    import threading
+
+    import jax
+
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine
+    from unet_tpu.pipeline import engine as engine_mod
+
+    real_put = jax.device_put
+    calls = {"n": 0}
+
+    def failing_put(x, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:  # let the first batch through, then blow up
+            raise RuntimeError("synthetic transfer failure")
+        return real_put(x, *a, **kw)
+
+    monkeypatch.setattr(engine_mod.jax if hasattr(engine_mod, "jax") else jax,
+                        "device_put", failing_put)
+
+    eng = InferenceEngine(StubModel(solid_mask(), 3), {}, _cfg(), EngineConfig(
+        batch=2, output_dir=str(tmp_path), write_video=False,
+        print_interval=100))
+
+    result = {}
+
+    def run():
+        try:
+            eng.process_video(frames_dir)
+            result["outcome"] = "returned"
+        except RuntimeError as e:
+            result["outcome"] = f"raised:{e}"
+        except BaseException as e:  # pragma: no cover - diagnostic
+            result["outcome"] = f"other:{type(e).__name__}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60.0)
+    assert not t.is_alive(), "process_video deadlocked on a failed uploader"
+    assert result["outcome"] == "raised:synthetic transfer failure"

@@ -396,6 +396,19 @@ class InferenceEngine:
             maxsize=max(self.ecfg.max_in_flight, 1))
         errors: List[BaseException] = []
         legs = state["legs"]
+        # cooperative shutdown: every blocking queue op polls `stop` so a
+        # stage dying (uploader exception, main-thread exception) can never
+        # leave its producer wedged on a full queue -> join() deadlock
+        stop = _threading.Event()
+
+        def _put(q: _queue.Queue, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def decoder():
             try:
@@ -407,17 +420,21 @@ class InferenceEngine:
                     except StopIteration:
                         break
                     legs["decode"] += time.perf_counter() - t0
-                    decode_q.put(item)
+                    if not _put(decode_q, item):
+                        return
             except BaseException as e:  # surface decode failures in main
                 errors.append(e)
             finally:
-                decode_q.put(None)
+                _put(decode_q, None)
 
         def uploader():
             prev_last: Optional[np.ndarray] = None
             try:
-                while True:
-                    item = decode_q.get()
+                while not stop.is_set():
+                    try:
+                        item = decode_q.get(timeout=0.1)
+                    except _queue.Empty:
+                        continue
                     if item is None:
                         break
                     ids, frames, n_valid = item
@@ -432,11 +449,13 @@ class InferenceEngine:
                         prev_dev = jax.device_put(prev)
                         prev_last = frames[n_valid - 1:n_valid].copy()
                     legs["upload"] += time.perf_counter() - t0
-                    upload_q.put((ids, frames, n_valid, fr_dev, prev_dev))
+                    if not _put(upload_q, (ids, frames, n_valid, fr_dev,
+                                           prev_dev)):
+                        return
             except BaseException as e:
                 errors.append(e)
             finally:
-                upload_q.put(None)
+                _put(upload_q, None)
 
         threads = [_threading.Thread(target=decoder, daemon=True),
                    _threading.Thread(target=uploader, daemon=True)]
@@ -444,24 +463,28 @@ class InferenceEngine:
             t.start()
 
         in_flight: deque = deque()
-        while True:
-            item = upload_q.get()
-            if item is None:
-                break
-            ids, frames, n_valid, fr_dev, prev_dev = item
-            t0 = time.perf_counter()
-            if prev_dev is not None:
-                out = self.step(self.variables, fr_dev, prev_frame_bgr=prev_dev)
-            else:
-                out = self.step(self.variables, fr_dev)
-            legs["dispatch"] += time.perf_counter() - t0
-            in_flight.append((ids, frames, n_valid, out))
-            if len(in_flight) > self.ecfg.max_in_flight:
+        try:
+            while True:
+                item = upload_q.get()
+                if item is None:
+                    break
+                ids, frames, n_valid, fr_dev, prev_dev = item
+                t0 = time.perf_counter()
+                if prev_dev is not None:
+                    out = self.step(self.variables, fr_dev,
+                                    prev_frame_bgr=prev_dev)
+                else:
+                    out = self.step(self.variables, fr_dev)
+                legs["dispatch"] += time.perf_counter() - t0
+                in_flight.append((ids, frames, n_valid, out))
+                if len(in_flight) > self.ecfg.max_in_flight:
+                    self._consume(*in_flight.popleft(), state)
+            while in_flight:
                 self._consume(*in_flight.popleft(), state)
-        while in_flight:
-            self._consume(*in_flight.popleft(), state)
-        for t in threads:
-            t.join()
+        finally:
+            stop.set()  # unblocks any producer still waiting on a full queue
+            for t in threads:
+                t.join(timeout=10.0)
         if errors:
             raise errors[0]
 
