@@ -220,3 +220,60 @@ def test_cli_infer_with_refactor_config(tmp_path):
     assert len(rows) == 1 + 6
     # detector wired from the YAML event section
     assert (out / "detector_events.csv").exists()
+
+
+def test_multistream_sink_failure_reaps_readers():
+    """If the on_result sink raises mid-serve, serve() must re-raise AND
+    terminate every reader thread — a reader wedged on its full frame queue
+    would leak the thread and its open source in a long-lived server."""
+    import threading
+
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg
+    from unet_tpu.serve import MultiStreamServer
+
+    class EndlessSource:
+        """Produces far more frames than the queue depth holds, so readers
+        are guaranteed to be blocked on put() when the sink dies."""
+
+        def __init__(self, sid):
+            self.sid = sid
+
+        def frames(self):
+            rng = np.random.default_rng(self.sid)
+            frame = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+            for i in range(10_000):
+                yield i + 1, frame
+
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(32, 32)))
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    server = MultiStreamServer(model, variables, cfg, queue_depth=2,
+                               max_in_flight=1)
+
+    seen = {"n": 0}
+
+    def sink(r):
+        seen["n"] += 1
+        if seen["n"] >= 3:
+            raise RuntimeError("sink exploded")
+
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        server.serve([EndlessSource(0), EndlessSource(1)], sink)
+    for t in server._threads:
+        t.join(timeout=15.0)
+    assert not any(t.is_alive() for t in server._threads), \
+        "reader threads leaked after sink failure"
+    assert threading.active_count() <= before + 1  # no stray accumulation
+
+    # the server object stays usable after the failure (stop flag cleared)
+    class Tiny:
+        def frames(self):
+            f = np.zeros((48, 64, 3), np.uint8)
+            for i in range(2):
+                yield i + 1, f
+
+    summary = server.serve([Tiny(), Tiny()], lambda r: None)
+    assert summary["frames"] == 4

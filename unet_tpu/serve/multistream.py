@@ -69,13 +69,24 @@ class MultiStreamServer:
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
 
+    def _put(self, q: queue.Queue, item) -> bool:
+        """Stop-aware put: a reader must never wedge on a full queue after
+        the serving loop exits (max_batches early exit, on_result exception)
+        — that would leak the thread and its open source forever."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _reader(self, stream_id: int, source) -> None:
         q = self._queues[stream_id]
         for frame_id, frame in source.frames():
-            if self._stop.is_set():
+            if self._stop.is_set() or not self._put(q, (frame_id, frame)):
                 break
-            q.put((frame_id, frame))
-        q.put(None)  # exhausted
+        self._put(q, None)  # exhausted
 
     def serve(self, sources: Sequence[Any],
               on_result: Callable[[StreamResult], None],
@@ -121,51 +132,59 @@ class MultiStreamServer:
                 processed += 1
 
         t0 = time.time()
-        while True:
-            # fetch at most one frame per stream; a starved stream gets a
-            # bounded wait and is then padded, never blocking the batch
-            for i in range(n):
-                if not live[i] or pending[i] is not None:
-                    continue
-                try:
-                    item = self._queues[i].get(timeout=self.starvation_timeout)
-                except queue.Empty:
-                    continue
-                if item is None:
-                    live[i] = False
-                else:
-                    pending[i] = item
-            fresh = [i for i in range(n) if pending[i] is not None]
-            if not fresh:
-                if not any(live):
+        try:
+            while True:
+                # fetch at most one frame per stream; a starved stream gets a
+                # bounded wait and is then padded, never blocking the batch
+                for i in range(n):
+                    if not live[i] or pending[i] is not None:
+                        continue
+                    try:
+                        item = self._queues[i].get(
+                            timeout=self.starvation_timeout)
+                    except queue.Empty:
+                        continue
+                    if item is None:
+                        live[i] = False
+                    else:
+                        pending[i] = item
+                fresh = [i for i in range(n) if pending[i] is not None]
+                if not fresh:
+                    if not any(live):
+                        break
+                    continue  # every live stream starved this round; retry
+                # fixed-size batch: slot i always belongs to stream i;
+                # non-fresh slots repeat the stream's last frame (zeros
+                # before its first)
+                template = pending[fresh[0]][1]
+                slots = [pending[i][1] if pending[i] is not None
+                         else (last[i] if last[i] is not None
+                               else np.zeros_like(template))
+                         for i in range(n)]
+                batch = np.stack(slots)
+                out = self.step(self.variables, jnp.asarray(batch))
+                fresh_meta = []
+                for i in fresh:
+                    fid, frame = pending[i]
+                    fresh_meta.append((i, fid))
+                    last[i] = frame
+                    pending[i] = None
+                # async dispatch: results are consumed max_in_flight batches
+                # behind submission so device compute overlaps batch assembly
+                in_flight.append((fresh_meta, out))
+                if len(in_flight) > self.max_in_flight:
+                    consume(*in_flight.popleft())
+                batches += 1
+                if max_batches is not None and batches >= max_batches:
                     break
-                continue  # every live stream starved this round; retry
-            # fixed-size batch: slot i always belongs to stream i; non-fresh
-            # slots repeat the stream's last frame (zeros before its first)
-            template = pending[fresh[0]][1]
-            slots = [pending[i][1] if pending[i] is not None
-                     else (last[i] if last[i] is not None
-                           else np.zeros_like(template))
-                     for i in range(n)]
-            batch = np.stack(slots)
-            out = self.step(self.variables, jnp.asarray(batch))
-            fresh_meta = []
-            for i in fresh:
-                fid, frame = pending[i]
-                fresh_meta.append((i, fid))
-                last[i] = frame
-                pending[i] = None
-            # async dispatch: results are consumed max_in_flight batches
-            # behind submission so device compute overlaps batch assembly
-            in_flight.append((fresh_meta, out))
-            if len(in_flight) > self.max_in_flight:
+            while in_flight:
                 consume(*in_flight.popleft())
-            batches += 1
-            if max_batches is not None and batches >= max_batches:
-                break
-        while in_flight:
-            consume(*in_flight.popleft())
-        self._stop.set()
+        finally:
+            # always unwedge + reap the readers — including when on_result
+            # raised or max_batches cut the loop short mid-stream
+            self._stop.set()
+            for t in self._threads:
+                t.join(timeout=10.0)
         dt = time.time() - t0
         return {"frames": processed, "batches": batches,
                 "elapsed_sec": round(dt, 3),
