@@ -277,3 +277,67 @@ def test_multistream_sink_failure_reaps_readers():
 
     summary = server.serve([Tiny(), Tiny()], lambda r: None)
     assert summary["frames"] == 4
+
+
+def test_serve_normalizes_metaless_mixed_resolution_sources(tmp_path):
+    """Camera-style sources publish no .meta (resolution unknown until
+    acquisition) — the serve layer must still normalize a mixed-resolution
+    group to one common shape instead of crashing np.stack on the first
+    batch."""
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import PipelineCfg, PreprocessCfg
+    from unet_tpu.serve.service import _CommonSize, _ResizedSource, serve_streams
+
+    class CamLike:  # no .meta attribute, fixed own resolution
+        def __init__(self, sid, hw, n=4):
+            self.sid, self.hw, self.n = sid, hw, n
+
+        def frames(self):
+            rng = np.random.default_rng(self.sid)
+            for i in range(self.n):
+                yield i + 1, (rng.random(self.hw + (3,)) * 255).astype(np.uint8)
+
+    common = _CommonSize(None)
+    named = [("camA", _ResizedSource(CamLike(0, (48, 64)), common)),
+             ("camB", _ResizedSource(CamLike(1, (96, 128)), common))]
+
+    cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(32, 32)))
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    summary = serve_streams(model, variables, cfg, named, str(tmp_path))
+    assert summary["frames"] == 8
+    assert {s["stream"] for s in summary["streams"]} == {"camA", "camB"}
+    # whichever reader won the race, both streams were resized to ONE shape
+    assert common._hw in ((48, 64), (96, 128))
+
+
+def test_cli_infer_config_keeps_preset_engine_hints(tmp_path):
+    """A named preset saved to plain pipeline YAML and reloaded via
+    `cli infer --config` must keep the preset's ENGINE behavior — the robust
+    preset's event gate used to silently vanish on this path (hints were
+    looked up by --preset only)."""
+    import cv2
+
+    from unet_tpu.cli.main import main as cli_main
+    from unet_tpu.core.config import save_pipeline_yaml
+    from unet_tpu.pipeline import get_preset
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        cv2.imwrite(str(d / f"f{i:03d}.png"),
+                    (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+
+    cfg = get_preset("robust").replace_in("preprocess", model_size=(32, 32))
+    cfgp = str(tmp_path / "robust.yaml")
+    save_pipeline_yaml(cfg, cfgp)
+
+    out = tmp_path / "out"
+    rc = cli_main(["infer", "--video", str(d), "--output", str(out),
+                   "--config", cfgp, "--batch", "2", "--no-video"])
+    assert rc == 0
+    # the robust preset's gate hint survived the YAML round trip: the gated
+    # events CSV only exists when event_gate_enabled reached the engine
+    assert (out / "gated_events.csv").exists()

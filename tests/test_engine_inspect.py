@@ -422,6 +422,33 @@ def test_event_gate_blip_vs_streak(tmp_path):
     assert int(rows[0]["frame_id"]) == 10
     assert float(rows[0]["ratio"]) > 1.5
 
+
+def test_event_gate_cooldown_runs_on_video_time(tmp_path):
+    """The gate's cooldown must be deterministic in VIDEO time (frame_id /
+    fps), not host wall clock — identical inputs give identical
+    gated_events.csv no matter how fast the engine runs. Two 8-frame streaks
+    0.64 s of video apart: a 0.2 s cooldown logs both, a 60 s cooldown
+    logs only the first."""
+    from unet_tpu.pipeline import EngineConfig, InferenceEngine
+
+    # frames 1..24: abnormal at 3..10 and 17..24 (ImageDirReader fps=25)
+    pattern = "001111111100000011111111"
+
+    def run(cooldown, out):
+        out.mkdir()
+        d = _brightness_dir(out, pattern)
+        eng = InferenceEngine(BrightnessStubModel(), {}, _cfg(), EngineConfig(
+            batch=4, output_dir=str(out / "res"), write_video=False,
+            event_gate_enabled=True, gate_hold_frames=8,
+            gate_cooldown_sec=cooldown, print_interval=100))
+        eng.process_video(d)
+        return list(csv.DictReader(open(out / "res" / "gated_events.csv")))
+
+    short = run(0.2, tmp_path / "short")
+    assert [int(r["frame_id"]) for r in short] == [10, 24]
+    long = run(60.0, tmp_path / "long")
+    assert [int(r["frame_id"]) for r in long] == [10]
+
 def test_burr_true_positive_wiring(tmp_path):
     """Stage-2 burr detections must flow through the engine into events.csv
     [BURR!] rows and the burr_frames counter (reference

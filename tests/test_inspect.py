@@ -114,7 +114,14 @@ def test_event_detector_consecutive_and_cooldown():
 
 
 def test_event_gate():
-    t = [100.0]  # nonzero start: last_fire initializes to 0.0 like time.time() usage
+    # clock starting at 0 (video time): the first confirmed streak must fire
+    # even though 0 - last_fire < cooldown would hold for last_fire = 0
+    gate0 = EventGate(hold_frames=2, cooldown_sec=3.0, clock=lambda: 0.0)
+    gate0.update(True)
+    gate0.update(True)
+    assert gate0.should_fire()
+
+    t = [100.0]
     gate = EventGate(hold_frames=3, cooldown_sec=2.0, clock=lambda: t[0])
     for _ in range(2):
         gate.update(True)

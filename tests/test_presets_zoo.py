@@ -240,6 +240,16 @@ def test_detect_vertical_roi_and_crop_roundtrip():
     want = cv2.resize(img[0, :, a:b], (64, 64), interpolation=cv2.INTER_LINEAR)
     np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-4)
 
+    # UPSCALED crop (narrow ROI -> wider model size): edge columns must
+    # replicate the crop's own border like cv2, not blend pixels from
+    # outside [a, b)
+    a2, b2 = 100, 140
+    got_up = np.asarray(crop_resize_bilinear(
+        jnp.asarray(img), jnp.asarray([a2]), jnp.asarray([b2]), (64, 128)))[0]
+    want_up = cv2.resize(img[0, :, a2:b2], (128, 64),
+                         interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(got_up, want_up, atol=1e-2, rtol=1e-4)
+
     # paste-back: a mask covering the whole model square lands exactly on
     # [a, b) and nowhere else
     full = jnp.ones((1, 64, 64), bool)

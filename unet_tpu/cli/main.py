@@ -147,7 +147,11 @@ def cmd_infer(args) -> int:
             print(f"int8: class-map agreement {agree:.4f} (gate 0.995)")
 
     if args.config:
-        hints = {}
+        # a plain pipeline YAML saved from a named preset keeps that
+        # preset's engine behavior (window mode, event gate, tracker, ...):
+        # cfg.name round-trips through the YAML, so look it up — unknown
+        # names get {}
+        hints = engine_hints(cfg.name)
         if cfg.name == "refactor_cfg":
             # the reference's refactored pipeline runs the EventDetector
             # over the measured ratios (infer_video_refactored.py:245-380);

@@ -111,7 +111,9 @@ class EventGate:
         self.hold_frames = hold_frames
         self.cooldown_sec = cooldown_sec
         self.hist: deque = deque(maxlen=hold_frames)
-        self.last_fire = 0.0
+        # -inf, not 0: with a video-time clock (engine) t starts near 0 and
+        # a zero initial last_fire would swallow the first event
+        self.last_fire = float("-inf")
         self._clock = clock
 
     def update(self, is_abnormal: bool) -> None:

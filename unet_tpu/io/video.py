@@ -43,18 +43,23 @@ class VideoReader:
         """(frame_id, BGR frame) honoring stride / max_frames."""
         fid = 0
         emitted = 0
-        while True:
-            ok, frame = self.cap.read()
-            if not ok:
-                break
-            fid += 1
-            if fid % self.frame_stride != 0:
-                continue
-            yield fid, frame
-            emitted += 1
-            if self.max_frames is not None and emitted >= self.max_frames:
-                break
-        self.cap.release()
+        try:
+            while True:
+                ok, frame = self.cap.read()
+                if not ok:
+                    break
+                fid += 1
+                if fid % self.frame_stride != 0:
+                    continue
+                yield fid, frame
+                emitted += 1
+                if self.max_frames is not None and emitted >= self.max_frames:
+                    break
+        finally:
+            # also runs on GeneratorExit: a consumer abandoning the stream
+            # mid-read (serve max_batches early exit, sink failure) must not
+            # leave the cv2/ffmpeg capture handle open
+            self.cap.release()
 
     def batches(self, batch: int) -> Iterator[Tuple[List[int], np.ndarray, int]]:
         """Yield (frame_ids, (B, H, W, 3) uint8, n_valid). The final batch is

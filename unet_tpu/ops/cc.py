@@ -518,7 +518,10 @@ def filter_components_by_geometry(mask: jnp.ndarray, min_area: int, max_area: in
         # (single Pallas launch on TPU, XLA while_loop elsewhere) and is
         # shared by both area-gating regimes below
         import os
-        use_onehot = not os.environ.get("UNET_TPU_CC_NO_ONEHOT")
+        # same truthiness convention as UNET_TPU_CC_PALLAS: '0'/'false'/
+        # 'off'/'no'/'' mean NOT set (keep the one-hot path)
+        use_onehot = (os.environ.get("UNET_TPU_CC_NO_ONEHOT", "")
+                      .strip().lower() in ("", "0", "false", "off", "no"))
         lead = m.shape[:-2]
         mb = m.reshape((-1,) + m.shape[-2:])
         labels, mnr, mxr, mnc, mxc, rank = _cc_bbox_batched(

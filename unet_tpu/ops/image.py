@@ -380,8 +380,13 @@ def crop_resize_bilinear(img: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray,
     def one(im, a, b):
         span = jnp.maximum((b - a).astype(jnp.float32), 1.0)
         xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (span / ow) - 0.5 + a
-        x0i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
-        x1i = jnp.minimum(x0i + 1, W - 1)
+        # clamp sample columns to the CROP [a, b), not the image: cv2.resize
+        # of a numpy crop replicates the crop's edge columns, and sampling
+        # outside the box would blend out-of-ROI pixels in on upscales
+        lo = jnp.clip(a, 0, W - 1)
+        hi = jnp.clip(b - 1, lo, W - 1)
+        x0i = jnp.clip(jnp.floor(xs).astype(jnp.int32), lo, hi)
+        x1i = jnp.minimum(x0i + 1, hi)
         wx = jnp.clip(xs - x0i, 0.0, 1.0)[None, :, None]
         wyc = wy[:, None, None]
         top = im[y0i[:, None], x0i[None, :]] * (1 - wx) + im[y0i[:, None], x1i[None, :]] * wx

@@ -155,7 +155,12 @@ class PostprocessCfg:
     refine_wide_w: int = 100
     refine_edge_frac: float = 0.1
     refine_edge_area: int = 10000
-    max_components: int = 16
+    # component budget for the spatial/refine gates: stats cover the top-K
+    # by area and anything beyond K is DROPPED, so K must exceed any
+    # plausible fragment count whose members pass the area gates — at 64,
+    # truncation needs >64 components each >= spatial_min_area (the
+    # reference's cv2 loop gates every component, infer_video_spatial.py:24)
+    max_components: int = 64
 
 
 @dataclass(frozen=True)

@@ -142,7 +142,13 @@ class InferenceEngine:
         self.tracker = (DefectTracker(e.tracker_confirm_frames, e.tracker_iou,
                                       e.tracker_stale_frames, CLASS_NAMES)
                         if e.tracker_enabled else None)
-        self.event_gate = (EventGate(e.gate_hold_frames, e.gate_cooldown_sec)
+        # the gate's cooldown runs on VIDEO time (frame_id / source fps), not
+        # wall clock: the engine processes hundreds of FPS, so a wall-clock
+        # cooldown would make gated_events.csv depend on host throughput
+        # (the reference's loop was real-time, where the two coincide)
+        self._video_time = 0.0
+        self.event_gate = (EventGate(e.gate_hold_frames, e.gate_cooldown_sec,
+                                     clock=lambda: self._video_time)
                            if e.event_gate_enabled else None)
 
     def _host_preprocess(self, frame: np.ndarray, hw) -> np.ndarray:
@@ -263,6 +269,7 @@ class InferenceEngine:
                     state["wrap_events"].append((fid, "thick"))
 
             if self.event_gate is not None and dc_px is not None:
+                self._video_time = fid / max(state["fps_in"], 1e-6)
                 ratio = dt_px / dc_px if dc_px > 0 else None
                 abnormal = bool(has_burr) or (
                     ratio is not None and not

@@ -18,18 +18,38 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 from unet_tpu.serve.multistream import MultiStreamServer, StreamResult
 
 
-class _ResizedSource:
-    """Adapter normalizing a stream to the common (H, W) so mixed-resolution
-    streams can share the fixed batch (slots are stacked into one array)."""
+class _CommonSize:
+    """Thread-safe shared (H, W) for a stream group. Seeded from the first
+    source that publishes a .meta; otherwise (camera-only serving, where the
+    resolution is unknown until acquisition starts) the first decoded frame
+    across ALL streams wins. Reader threads race on resolve(); the lock makes
+    first-set-wins deterministic enough — every later stream resizes to it."""
 
-    def __init__(self, source, hw: Tuple[int, int]):
+    def __init__(self, hw: Optional[Tuple[int, int]] = None):
+        import threading
+        self._hw = hw
+        self._lock = threading.Lock()
+
+    def resolve(self, frame_hw: Tuple[int, int]) -> Tuple[int, int]:
+        with self._lock:
+            if self._hw is None:
+                self._hw = tuple(frame_hw)
+            return self._hw
+
+
+class _ResizedSource:
+    """Adapter normalizing a stream to the group's common (H, W) so
+    mixed-resolution streams can share the fixed batch (slots are stacked
+    into one array)."""
+
+    def __init__(self, source, common: _CommonSize):
         self.source = source
-        self.hw = hw
+        self.common = common
 
     def frames(self):
         import cv2
-        h, w = self.hw
         for fid, frame in self.source.frames():
+            h, w = self.common.resolve(frame.shape[:2])
             if frame.shape[:2] != (h, w):
                 frame = cv2.resize(frame, (w, h))
             yield fid, frame
@@ -74,11 +94,18 @@ def open_sources(videos: Sequence[str], cameras: Sequence[str] = (),
         named.append((f"cam_{serial or len(named)}", src))
     if not named:
         raise ValueError("serve: no streams (need --videos and/or --cameras)")
-    meta = getattr(named[0][1], "meta", None)
-    hw = (meta.height, meta.width) if meta is not None else None
-    if hw is not None:
-        named = [(n, _ResizedSource(s, hw)) for n, s in named]
-    return named
+    # normalize EVERY stream to one common resolution — seeded from the
+    # first source that knows its size, else (camera-only) from the first
+    # decoded frame; without this a mixed group would crash np.stack on the
+    # first assembled batch
+    hw = None
+    for _, s in named:
+        meta = getattr(s, "meta", None)
+        if meta is not None:
+            hw = (meta.height, meta.width)
+            break
+    common = _CommonSize(hw)
+    return [(n, _ResizedSource(s, common)) for n, s in named]
 
 
 class StreamWriter:
