@@ -1,10 +1,13 @@
 """Benchmarks for the BASELINE.json configs on one TPU chip.
 
 Default (no args) = config 2, the headline: 800x448 full two-stage pipeline
-throughput vs the reference's 14.59 FPS (README.md:17). `--config {1..5}`
-selects the other BASELINE configs; `--config 6` is the TRUE end-to-end
-engine loop (decode + upload + overlay + mp4 write, apples-to-apples with
-the reference's own measurement).
+throughput vs the reference's 14.59 FPS (README.md:17), measured at the
+known-best fixed operating points (docs/PERF.md §3f) so the official run
+fits the driver's wall-clock budget. `--sweep` re-maps the full
+batch x mode x dtype surface (slow). `--config {1..5}` selects the other
+BASELINE configs; `--config 6` is the TRUE end-to-end engine loop
+(decode + upload + overlay + mp4 write, apples-to-apples with the
+reference's own measurement).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -67,9 +70,10 @@ def _throughput(step, variables, frames_host, batch, n_frames=128,
     return frames_total / times[0], frames_total / times[len(times) // 2]
 
 
-def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96, 128),
-                    chunked_only_from=96,
-                    frame_hw=(FRAME_H, FRAME_W), fast=True, int8=False):
+def _build_pipeline(cfg_name, preset_kwargs, frame_hw, fast=True):
+    """Shared model/config/calibration setup for the bench paths. Returns
+    (model, variables, cfg, cfg_for) where cfg_for("bf16"|"int8") lazily
+    builds the int8-calibrated config only when a point needs it."""
     import jax
     import jax.numpy as jnp
 
@@ -84,11 +88,92 @@ def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96, 128),
     w, h = cfg.preprocess.model_size
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
                            train=False)
-    if int8:  # calibrated int8 forward (models/quantized.py), measured ~8%
-        # faster than the bf16 packed forward on the same footing
-        calib = _synthetic_frames(np.random.default_rng(7), 8,
-                                  h=frame_hw[0], w=frame_hw[1])
-        cfg = stages.calibrate_int8(model, variables, cfg, [calib])
+    cfgs = {"bf16": cfg}
+
+    def cfg_for(dtype):
+        if dtype not in cfgs:  # calibrated int8 (models/quantized.py)
+            calib = _synthetic_frames(np.random.default_rng(7), 8,
+                                      h=frame_hw[0], w=frame_hw[1])
+            cfgs[dtype] = stages.calibrate_int8(model, variables, cfg, [calib])
+        return cfgs[dtype]
+
+    return model, variables, cfg, cfg_for
+
+
+def _fixed_points(cfg_name, preset_kwargs, points,
+                  frame_hw=(FRAME_H, FRAME_W), chunk=4):
+    """Measure the known-best operating points (docs/PERF.md §3e/§3f) instead
+    of sweeping. The full batch x dtype x dispatch-mode sweep costs ~10 fresh
+    XLA compiles plus GBs of frame upload through this dev relay and blew the
+    round-3 driver budget (BENCH_r03.json rc=124); the batch-scaling curves it
+    mapped peak at b96/b128 chunked (PERF.md §3f), so the official bench now
+    measures ONLY those peaks (+ the per-batch real-time mode): one compile
+    per point and ONE shared frame upload. `points` = (mode, batch, dtype)
+    tuples, mode in {chunked, per_batch}, dtype in {bf16, int8}.
+
+    Returns a list of {mode, batch, dtype, fps, median} dicts (OOM points
+    skipped, like the sweep's guard)."""
+    import jax.numpy as jnp
+
+    from unet_tpu.pipeline import stages
+
+    model, variables, _cfg, cfg_for = _build_pipeline(cfg_name, preset_kwargs,
+                                                      frame_hw)
+    max_frames = max((chunk * b if mode == "chunked" else b)
+                     for mode, b, _ in points)
+    frames_host = _synthetic_frames(np.random.default_rng(0), max_frames,
+                                    h=frame_hw[0], w=frame_hw[1])
+    frames_dev = jnp.asarray(frames_host)  # ONE upload shared by all points
+
+    results = []
+    for mode, batch, dtype in points:
+        t0 = time.perf_counter()
+        c = cfg_for(dtype)
+        try:
+            if mode == "chunked":
+                step = stages.build_chunked_step(model, c)
+                fr = frames_dev[:chunk * batch].reshape(
+                    (chunk, batch) + frames_dev.shape[1:])
+                fps, med = _throughput(step, variables, fr, chunk * batch)
+            else:
+                step = stages.build_step(model, c)
+                fps, med = _throughput(step, variables, frames_dev[:batch],
+                                       batch)
+        except Exception as e:  # largest batches can OOM; skip, don't die
+            print(f"# point {mode}/b{batch}/{dtype} skipped: "
+                  f"{type(e).__name__}", file=sys.stderr)
+            continue
+        print(f"# point {mode}/b{batch}/{dtype}: {fps:.1f} FPS "
+              f"(wall incl compile {time.perf_counter() - t0:.0f}s)",
+              file=sys.stderr)
+        results.append({"mode": mode, "batch": batch, "dtype": dtype,
+                        "fps": fps, "median": med})
+    return results
+
+
+def _headline(results):
+    """Best point + per-dtype extras from a _fixed_points result list."""
+    best = max(results, key=lambda r: r["fps"])
+    extra = {}
+    for dtype in ("bf16", "int8"):
+        pts = [r for r in results if r["dtype"] == dtype]
+        if pts:
+            extra[f"{dtype}_fps"] = round(max(p["fps"] for p in pts), 2)
+    rt = [r for r in results if r["mode"] == "per_batch"]
+    if rt:
+        extra["realtime_per_batch_fps"] = round(max(p["fps"] for p in rt), 2)
+    return best, extra
+
+
+def _pipeline_bench(cfg_name, preset_kwargs, batches=(8, 16, 32, 96, 128),
+                    chunked_only_from=96,
+                    frame_hw=(FRAME_H, FRAME_W), fast=True, int8=False):
+    from unet_tpu.pipeline import stages
+
+    model, variables, _cfg, cfg_for = _build_pipeline(cfg_name, preset_kwargs,
+                                                      frame_hw, fast=fast)
+    # int8 measured ~8% faster than the bf16 packed forward on same footing
+    cfg = cfg_for("int8" if int8 else "bf16")
     # Measure BOTH dispatch modes and report the best: per-batch dispatch
     # (the engine's real-time mode) and chunked dispatch (stages.
     # build_chunked_step, K batches per device program — the offline/serve
@@ -231,34 +316,25 @@ def config6():
             "pipelined_fps_bound": summary["pipelined_fps_bound"]}
 
 
-def main(argv=None) -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=2,
-                    choices=[1, 2, 3, 4, 5, 6])
-    ap.add_argument("--int8", action="store_true",
-                    help="calibrated int8 forward (models/quantized.py) "
-                         "instead of the bf16 phase-packed one (configs 2-5)")
-    args = ap.parse_args(argv)
+# Known-best operating points per config (docs/PERF.md §3f batch-scaling
+# curves: chunked dispatch peaks at b96/b128 for 800x448, per-batch b32 is
+# the real-time engine mode). The default run measures ONLY these; --sweep
+# re-maps the full batch x mode x dtype surface.
+FIXED_POINTS = {
+    2: [("chunked", 96, "int8"), ("chunked", 128, "bf16"),
+        ("per_batch", 32, "int8")],
+    3: [("chunked", 96, "int8"), ("chunked", 128, "bf16")],
+    4: [("chunked", 8, "bf16"), ("per_batch", 4, "bf16")],
+    5: [("chunked", 96, "bf16")],
+}
 
-    # persistent compile cache across bench invocations (user-scoped dir)
-    from unet_tpu.core.config import enable_compilation_cache
-    enable_compilation_cache()
 
-    if args.config == 1:
-        print(json.dumps(config1()))
-        return
-    if args.config == 6:
-        print(json.dumps(config6()))
-        return
+def _sweep(args):
+    """The exhaustive batch x dtype x dispatch-mode sweep (the pre-r4 default;
+    ~10 compiles + GBs of upload — run manually, not under the driver)."""
     tag = "_int8" if args.int8 else ""
     extra = {}
     if args.config == 2:
-        # the headline measures BOTH shipped forwards — bf16 phase-packed and
-        # calibrated int8 (cli infer --int8) — as SEPARATE metrics, and
-        # reports the faster under its own honest name (measured r3: bf16
-        # 327 FPS, int8 388 via chunked dispatch at batch 96, docs/PERF.md
-        # §3f; int8 accuracy is gated by
-        # tests/test_quantized.py's mIoU-delta protocol)
         fps, batch, med = _pipeline_bench("two_stage", {}, int8=args.int8)
         name = f"two_stage_800x448{tag}_fps_per_chip(batch={batch})"
         extra[f"{'int8' if args.int8 else 'bf16'}_fps"] = round(fps, 2)
@@ -269,10 +345,6 @@ def main(argv=None) -> None:
                 fps, batch, med = fps8, batch8, med8
                 name = f"two_stage_800x448_int8_fps_per_chip(batch={batch})"
     elif args.config == 3:
-        # like the headline: measure BOTH shipped forwards and report the
-        # faster under its own honest name (int8 accuracy is gated by
-        # tests/test_quantized.py's mIoU-delta protocol + the CLI's
-        # agreement auto-fallback)
         fps, batch, med = _pipeline_bench("enhanced", {"enhance": True},
                                           int8=args.int8)
         name = f"enhanced_clahe_denoise{tag}_fps(batch={batch})"
@@ -285,18 +357,68 @@ def main(argv=None) -> None:
                 fps, batch, med = fps8, batch8, med8
                 name = f"enhanced_clahe_denoise_int8_fps(batch={batch})"
     elif args.config == 4:
-        # 2448x2048 source rotated 90 CCW + normalized to 800x448 on device
-        # (reference infer_high_res_custom_roi.py)
         fps, batch, med = _pipeline_bench("high_res_roi", {}, batches=(2, 4, 8),
                                           frame_hw=(2448, 2048), int8=args.int8)
         name = f"high_res_2448x2048{tag}_fps(batch={batch})"
-    else:  # 5: 7-class wrap-uniformity, batched multi-stream (batch >= 8)
+    else:  # 5
         fps, batch, med = _pipeline_bench("wrap_7class", {},
                                           batches=(8, 16, 32, 96),
                                           int8=args.int8)
         name = f"wrap_7class_batched{tag}_fps(batch={batch})"
         extra["multistream_server_fps(streams=8)"] = round(
             _multistream_bench(), 2)
+    return fps, med, name, extra
+
+
+CONFIG_NAMES = {2: ("two_stage", {}, "two_stage_800x448", (FRAME_H, FRAME_W)),
+                3: ("enhanced", {"enhance": True}, "enhanced_clahe_denoise",
+                    (FRAME_H, FRAME_W)),
+                4: ("high_res_roi", {}, "high_res_2448x2048", (2448, 2048)),
+                5: ("wrap_7class", {}, "wrap_7class_batched",
+                    (FRAME_H, FRAME_W))}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=2,
+                    choices=[1, 2, 3, 4, 5, 6])
+    ap.add_argument("--int8", action="store_true",
+                    help="with --sweep: sweep the calibrated int8 forward "
+                         "(models/quantized.py) instead of bf16; the default "
+                         "fixed-point run always measures both dtypes")
+    ap.add_argument("--sweep", action="store_true",
+                    help="exhaustive batch x mode x dtype sweep instead of "
+                         "the fixed known-best points (slow; ~10 compiles)")
+    args = ap.parse_args(argv)
+
+    # persistent compile cache across bench invocations (user-scoped dir)
+    from unet_tpu.core.config import enable_compilation_cache
+    enable_compilation_cache()
+
+    if args.config == 1:
+        print(json.dumps(config1()))
+        return
+    if args.config == 6:
+        print(json.dumps(config6()))
+        return
+    if args.sweep:
+        fps, med, name, extra = _sweep(args)
+    else:
+        preset, kwargs, stem, frame_hw = CONFIG_NAMES[args.config]
+        results = _fixed_points(preset, kwargs, FIXED_POINTS[args.config],
+                                frame_hw=frame_hw)
+        if not results:
+            print(json.dumps({"metric": f"{stem}_fps", "value": 0.0,
+                              "unit": "frames/sec", "vs_baseline": 0.0,
+                              "error": "all points skipped"}))
+            return
+        best, extra = _headline(results)
+        fps, med = best["fps"], best["median"]
+        tag = "_int8" if best["dtype"] == "int8" else ""
+        name = f"{stem}{tag}_fps_per_chip(batch={best['batch']})"
+        if args.config == 5:
+            extra["multistream_server_fps(streams=8)"] = round(
+                _multistream_bench(), 2)
 
     print(json.dumps({
         "metric": name,

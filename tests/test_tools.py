@@ -347,6 +347,54 @@ def test_cli_infer_int8(tmp_path, rng, capsys):
     assert len(rows) == 7  # header + 6 frames
 
 
+def test_cli_infer_int8_short_video_holdout(tmp_path, rng, monkeypatch, capsys):
+    """VERDICT r3 item 8: on a short video (16 frames, fewer than
+    2 x n_calib), the strided calibration sample and the agreement-gate
+    frames must be DISJOINT — an in-sample agreement check would overstate
+    int8 fidelity exactly when data is scarcest."""
+    import cv2
+
+    from unet_tpu.pipeline import stages as stages_mod
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(16):
+        f = rng.uniform(30, 70, (96, 128, 3))
+        f[:, 52:76] = (175, 180, 180)
+        f[:8, :8] = i * 15 + 5  # per-frame fingerprint patch
+        cv2.imwrite(str(d / f"f_{i:03d}.png"),
+                    np.clip(f, 0, 255).astype(np.uint8))
+
+    seen = {}
+    real_cal, real_val = stages_mod.calibrate_int8, stages_mod.validate_int8
+
+    def cal(model, variables, cfg, batches):
+        batches = [np.asarray(b) for b in batches]
+        seen["calib"] = np.concatenate(batches)
+        return real_cal(model, variables, cfg, batches)
+
+    def val(model, variables, cfg, qcfg, frames):
+        seen["holdout"] = np.asarray(frames)
+        return real_val(model, variables, cfg, qcfg, frames)
+
+    monkeypatch.setattr(stages_mod, "calibrate_int8", cal)
+    monkeypatch.setattr(stages_mod, "validate_int8", val)
+    rc = _cli(["infer", "--video", str(d), "--output", str(tmp_path / "out"),
+               "--preset", "two_stage", "--model-size", "64", "--batch", "4",
+               "--int8", "--no-video", "--dtype", "float32"])
+    assert rc == 0
+    assert "held out for the agreement gate" in capsys.readouterr().out
+
+    def fingerprints(arr):
+        return {int(a[0, 0, 0]) for a in arr}
+
+    cal_ids, hold_ids = fingerprints(seen["calib"]), fingerprints(seen["holdout"])
+    assert cal_ids and hold_ids
+    assert cal_ids.isdisjoint(hold_ids), (
+        f"agreement gate scored calibration frames: {cal_ids & hold_ids}")
+    assert len(seen["calib"]) + len(seen["holdout"]) == 16
+
+
 def _drag(sess, x1, y1, x2, y2):
     from unet_tpu.tools import interactive as I
     sess.on_mouse(I.MOUSE_DOWN, x1, y1)

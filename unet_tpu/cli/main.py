@@ -130,15 +130,22 @@ def cmd_infer(args) -> int:
             raise SystemExit(f"--int8: no frames decodable from {args.video}")
         _, frames, n_valid = batch
         fcfg = cfg
-        cfg = stages.calibrate_int8(model, variables, cfg,
-                                    [frames[:max(n_valid, 1)]])
-        print(f"int8: calibrated on {n_valid} frames "
-              f"(stride {stride} across the video)")
+        valid = frames[:max(n_valid, 1)]
+        # interleaved calib/holdout split: even-strided frames calibrate,
+        # odd-strided frames feed the agreement gate, so on short videos
+        # (< 2*n_calib frames, where strided sampling returns few distinct
+        # frames) the gate never scores the exact frames it calibrated on —
+        # an in-sample agreement check would overstate int8 fidelity
+        calib = valid[0::2] if len(valid) >= 2 else valid
+        holdout = valid[1::2][:8] if len(valid) >= 2 else valid
+        cfg = stages.calibrate_int8(model, variables, cfg, [calib])
+        print(f"int8: calibrated on {len(calib)} frames "
+              f"(stride {stride} across the video, "
+              f"{len(holdout)} held out for the agreement gate)")
         # accuracy gate with auto-fallback: int8 must agree with the float
-        # pipeline on the calibration sample (the labeled-data gate lives in
+        # pipeline on HELD-OUT frames (the labeled-data gate lives in
         # tests/test_quantized.py: mIoU delta <= 0.5%)
-        agree = stages.validate_int8(model, variables, fcfg, cfg,
-                                     frames[:min(max(n_valid, 1), 8)])
+        agree = stages.validate_int8(model, variables, fcfg, cfg, holdout)
         if agree < 0.995:
             print(f"int8: class-map agreement {agree:.4f} < 0.995 on this "
                   f"video; falling back to the bf16 forward")
