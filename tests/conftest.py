@@ -53,3 +53,40 @@ def synthetic_cable_frame(h=96, w=128, cable_x=(50, 70), tape_y=(30, 70), seed=0
 @pytest.fixture
 def cable_scene():
     return synthetic_cable_frame()
+
+
+def hard_cable_scene(seed, h=64, w=64):
+    """HARD synthetic cable scene for non-saturated accuracy gates (VERDICT
+    r3 item 2): low-contrast cable (+12..40 over a 50..110 textured base with
+    sigma-12 sensor noise), thin tape bands whose color shift can approach the
+    noise floor, per-scene brightness/gradient variation, and 0-2 bg-colored
+    occluder blobs that keep their labels. A model trained on 8 such scenes
+    reaches val mIoU ~0.83 on held-out seeds (vs 1.00 on
+    synthetic_cable_frame) — hard enough that a 1-2 % accuracy regression is
+    measurable, which the saturated scenes could not detect."""
+    r = np.random.default_rng(seed)
+    base = r.uniform(50, 110)
+    bgr = r.uniform(base - 15, base + 15, (h, w, 3))
+    gy = np.linspace(0, r.uniform(-25, 25), h)[:, None, None]
+    gx = np.linspace(0, r.uniform(-25, 25), w)[None, :, None]
+    bgr = bgr + gy + gx
+    mask = np.zeros((h, w), np.uint8)
+    cable_w = int(r.integers(6, max(8, w // 3)))
+    x1 = int(r.integers(2, w - cable_w - 2))
+    x2 = x1 + cable_w
+    bgr[:, x1:x2] += r.uniform(12, 40)  # low-contrast cable
+    mask[:, x1:x2] = 1
+    th = int(r.integers(3, h // 3))  # tape band, possibly very thin
+    y1 = int(r.integers(0, h - th))
+    pad = int(r.integers(1, 4))
+    xa, xb = max(0, x1 - pad), min(w, x2 + pad)
+    tape_shift = r.uniform(10, 45)  # red shift, sometimes near noise floor
+    bgr[y1:y1 + th, xa:xb, 2] += tape_shift
+    bgr[y1:y1 + th, xa:xb, :2] -= tape_shift * 0.3
+    mask[y1:y1 + th, xa:xb] = 2
+    for _ in range(int(r.integers(0, 3))):  # occluders keep their labels
+        bh, bw = int(r.integers(4, 10)), int(r.integers(4, 10))
+        by, bx = int(r.integers(0, h - bh)), int(r.integers(0, w - bw))
+        bgr[by:by + bh, bx:bx + bw] = base + r.normal(0, 5)
+    bgr += r.normal(0, 12, bgr.shape)
+    return np.clip(bgr, 0, 255).astype(np.uint8), mask

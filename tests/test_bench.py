@@ -53,6 +53,46 @@ def test_pipeline_bench_skips_failing_batch(small_presets, monkeypatch):
     assert 4 in calls  # the failing point was attempted, then skipped
 
 
+@pytest.mark.slow
+def test_fixed_points_skips_failing_point(small_presets, monkeypatch):
+    """The driver-default path (_fixed_points) must keep the OOM-skip guard:
+    a point whose measurement raises is dropped, the rest still report."""
+    real = bench._throughput
+    calls = []
+
+    def throughput(step, variables, frames, batch, **kw):
+        calls.append(batch)
+        if batch >= 8:  # the chunked point (chunk 4 x batch 2)
+            raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+        return real(step, variables, frames, batch, **kw)
+
+    monkeypatch.setattr(bench, "_throughput", throughput)
+    results = bench._fixed_points(
+        "two_stage", {},
+        [("chunked", 2, "bf16"), ("per_batch", 2, "bf16")],
+        frame_hw=(64, 96))
+    assert [r["mode"] for r in results] == ["per_batch"]
+    assert 8 in calls  # the failing chunked point was attempted
+    best, extra = bench._headline(results)
+    assert best["mode"] == "per_batch" and best["fps"] > 0
+    assert extra["realtime_per_batch_fps"] == round(best["fps"], 2)
+
+
+def test_headline_picks_best_and_reports_both_dtypes():
+    results = [
+        {"mode": "chunked", "batch": 96, "dtype": "int8",
+         "fps": 388.2, "median": 387.5},
+        {"mode": "chunked", "batch": 128, "dtype": "bf16",
+         "fps": 338.0, "median": 335.1},
+        {"mode": "per_batch", "batch": 32, "dtype": "int8",
+         "fps": 262.2, "median": 260.0},
+    ]
+    best, extra = bench._headline(results)
+    assert best["dtype"] == "int8" and best["batch"] == 96
+    assert extra == {"bf16_fps": 338.0, "int8_fps": 388.2,
+                     "realtime_per_batch_fps": 262.2}
+
+
 def test_synthetic_frames_shape_and_content():
     frames = bench._synthetic_frames(np.random.default_rng(0), 3, h=64, w=96)
     assert frames.shape == (3, 64, 96, 3) and frames.dtype == np.uint8

@@ -1,8 +1,12 @@
 """int8 quantized forward: calibration + accuracy on a trained model.
 
 Random-init logits sit near zero where argmax is tie-noise, so the accuracy
-gates run on a model first trained to mIoU > 0.9 on synthetic cable scenes
-(the overfit-gate recipe, reference tools/overfit_test.py).
+gates run on a model first trained on synthetic cable scenes (the
+overfit-gate recipe, reference tools/overfit_test.py). The scenes are the
+HARD variant (conftest.hard_cable_scene): the float model lands val mIoU
+~0.83 on held-out seeds, so the mIoU-delta gate can actually detect a 1-2 %
+int8 regression — on the original saturated scenes (float mIoU 1.0000) it
+had near-zero discriminating power (VERDICT r3 item 2).
 """
 import numpy as np
 import pytest
@@ -10,7 +14,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from conftest import synthetic_cable_frame
+from conftest import hard_cable_scene
 
 
 @pytest.fixture(scope="module")
@@ -19,9 +23,7 @@ def trained():
     from unet_tpu.train import LossCfg, OptimCfg, create_train_state
     from unet_tpu.train.trainer import make_train_step
 
-    imgs, masks = zip(*[synthetic_cable_frame(h=64, w=64, cable_x=(26, 38),
-                                              tape_y=(20, 44), seed=s)
-                        for s in range(8)])
+    imgs, masks = zip(*[hard_cable_scene(seed=s) for s in range(8)])
     images = np.stack(imgs).astype(np.float32) / 255.0
     labels = np.stack(masks).astype(np.int32)
 
@@ -96,33 +98,90 @@ def test_int8_wide_packing(trained, pack_max_cout):
     assert (q == ref).mean() > 0.97
 
 
-def test_int8_miou_delta(trained):
-    """VERDICT r2 item 3: quantified int8 accuracy — mIoU(int8) must be
-    within 0.5 % (absolute) of mIoU(bf16) on held-out labeled scenes (same
-    geometry distribution, fresh noise seeds)."""
-    from unet_tpu.models.quantized import calibrate, int8_apply
-    from unet_tpu.ops.seg_metrics import metrics_from_confusion
-    model, variables, images, labels = trained
-
-    val = [synthetic_cable_frame(h=64, w=64, cable_x=(26, 38),
-                                 tape_y=(20, 44), seed=200 + s)
-           for s in range(8)]
+def _val_set():
+    """Held-out hard scenes (fresh geometry + noise seeds)."""
+    val = [hard_cable_scene(seed=500 + s) for s in range(8)]
     vx = np.stack([v[0] for v in val]).astype(np.float32) / 255.0
     vy = np.stack([v[1] for v in val]).astype(np.int32)
+    return vx, vy
 
-    def miou(preds):
-        cm = np.zeros((3, 3), np.int64)
-        np.add.at(cm, (vy.ravel(), np.asarray(preds).ravel()), 1)
-        return metrics_from_confusion(cm)[0]
 
-    scales = calibrate(variables, [images])
-    miou_f = miou(jnp.argmax(model.apply(variables, jnp.asarray(vx),
-                                         train=False), -1))
-    miou_q = miou(jnp.argmax(int8_apply(variables, jnp.asarray(vx), scales), -1))
-    assert miou_f > 0.9, f"float model not accurate enough to gate ({miou_f:.3f})"
+def _miou(preds, vy):
+    from unet_tpu.ops.seg_metrics import metrics_from_confusion
+    cm = np.zeros((3, 3), np.int64)
+    np.add.at(cm, (vy.ravel(), np.asarray(preds).ravel()), 1)
+    return metrics_from_confusion(cm)[0]
+
+
+def test_int8_miou_delta(trained):
+    """VERDICT r2 item 3 + r3 item 2: quantified int8 accuracy — mIoU(int8)
+    must be within 0.5 % (absolute) of mIoU(float) on held-out labeled
+    scenes, measured on a NON-SATURATED task: the float model must land
+    mIoU in (0.75, 0.97) so the gate has discriminating power (measured:
+    float 0.8335, int8 0.8351, delta -0.0016 — int8 does not lose accuracy;
+    docs/PERF.md §3b)."""
+    from unet_tpu.models.quantized import calibrate, int8_apply
+    model, variables, images, labels = trained
+    vx, vy = _val_set()
+
+    scales = calibrate(variables, [images[:4], images[4:]])
+    miou_f = _miou(jnp.argmax(model.apply(variables, jnp.asarray(vx),
+                                          train=False), -1), vy)
+    miou_q = _miou(jnp.argmax(int8_apply(variables, jnp.asarray(vx), scales),
+                              -1), vy)
+    assert 0.75 < miou_f < 0.97, (
+        f"gate lost discriminating power: float mIoU {miou_f:.4f} must be "
+        f"hard-but-learnable (saturated scenes cannot detect a 1-2% drop)")
     assert miou_f - miou_q <= 0.005, (
         f"int8 mIoU drop {miou_f - miou_q:.4f} > 0.5% "
-        f"(bf16 {miou_f:.4f} vs int8 {miou_q:.4f})")
+        f"(float {miou_f:.4f} vs int8 {miou_q:.4f})")
+
+
+def test_agreement_threshold_is_derived(trained):
+    """Derives the CLI's 0.995 class-map-agreement auto-fallback threshold
+    (cli/main.py --int8, stages.validate_int8) from measured data instead of
+    assertion (VERDICT r3 weak #6): on the non-saturated val set,
+
+    - a correctly calibrated int8 model sits ABOVE the threshold
+      (measured agreement 0.9987) while inside the 0.5 % mIoU budget
+      (delta -0.0016), and
+    - a degraded quantization (activation scales x5 — the failure mode
+      calibration drift produces) falls BELOW the threshold (measured
+      0.9940) exactly when it violates the budget (drop +0.0077),
+
+    so agreement >= 0.995 separates within-budget from out-of-budget int8
+    on content where mIoU can actually move. Full degradation curve
+    (x1.5..x16) in docs/PERF.md §3b."""
+    from unet_tpu.models.quantized import calibrate, int8_apply
+    model, variables, images, labels = trained
+    vx, vy = _val_set()
+
+    ref = np.asarray(jnp.argmax(model.apply(variables, jnp.asarray(vx),
+                                            train=False), -1))
+    miou_f = _miou(ref, vy)
+    scales = calibrate(variables, [images[:4], images[4:]])
+
+    good = np.asarray(jnp.argmax(int8_apply(variables, jnp.asarray(vx),
+                                            scales), -1))
+    agree_good = (good == ref).mean()
+    assert agree_good >= 0.995, (
+        f"calibrated int8 agreement {agree_good:.4f} fell below the CLI "
+        f"fallback threshold — the shipped int8 path would disable itself")
+    assert miou_f - _miou(good, vy) <= 0.005
+
+    degraded = [(k, s * 5.0) for k, s in scales]
+    bad = np.asarray(jnp.argmax(int8_apply(variables, jnp.asarray(vx),
+                                           degraded), -1))
+    agree_bad = (bad == ref).mean()
+    drop_bad = miou_f - _miou(bad, vy)
+    assert drop_bad > 0.005, (
+        f"x5-degraded scales no longer violate the mIoU budget "
+        f"(drop {drop_bad:+.4f}) — the threshold derivation lost its "
+        f"out-of-budget witness; re-derive on harder content")
+    assert agree_bad < 0.995, (
+        f"budget-violating degradation (mIoU drop {drop_bad:+.4f}) passed "
+        f"the agreement gate ({agree_bad:.4f} >= 0.995) — the CLI fallback "
+        f"threshold no longer catches it")
 
 
 def test_int8_burr_count_agreement(trained):
@@ -131,7 +190,7 @@ def test_int8_burr_count_agreement(trained):
     sensitive to mask flips — VERDICT r2 weak #2)."""
     from unet_tpu.pipeline import PipelineCfg, PreprocessCfg, stages
     model, variables, images, labels = trained
-    frames = np.stack([synthetic_cable_frame(h=96, w=128, seed=300 + s)[0]
+    frames = np.stack([hard_cable_scene(h=96, w=128, seed=300 + s)[0]
                        for s in range(8)])
     cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(64, 64)))
     qcfg = stages.calibrate_int8(model, variables, cfg, [frames])
@@ -151,7 +210,7 @@ def test_pipeline_int8_calibrated(trained):
     pipeline and agrees with the float pipeline."""
     from unet_tpu.pipeline import PipelineCfg, PreprocessCfg, stages
     model, variables, images, labels = trained
-    frames = np.stack([synthetic_cable_frame(h=96, w=128, seed=100 + s)[0]
+    frames = np.stack([hard_cable_scene(h=96, w=128, seed=100 + s)[0]
                        for s in range(4)])
 
     cfg = PipelineCfg(preprocess=PreprocessCfg(model_size=(64, 64)))
