@@ -141,6 +141,7 @@ def test_multistream_fixed_slots_single_compile():
     assert by_stream[2] == list(range(1, 6))  # slow stream loses no frames
 
 
+@pytest.mark.slow
 def test_cli_serve_e2e(tmp_path):
     """VERDICT r2 item 4: `cli serve` drives MultiStreamServer end-to-end —
     3 unequal-length mixed-resolution streams, per-stream results.csv /

@@ -271,6 +271,7 @@ def test_cross_video_state_reset(frames_dir, tmp_path):
     assert int(rows[0]["start_frame"]) <= 4  # track started in THIS video
 
 
+@pytest.mark.slow
 def test_evidence_overlays_have_no_hud(frames_dir, tmp_path):
     """Evidence-dir overlays and event images must be clean overlays — the
     frame-id/FPS HUD belongs only to result.mp4 (the HUD was drawn in place
@@ -292,6 +293,7 @@ def test_evidence_overlays_have_no_hud(frames_dir, tmp_path):
     assert all(outs["video"][k] == outs["clean"][k] for k in outs["video"])
 
 
+@pytest.mark.slow
 def test_stages_quality_and_components():
     """Device-side quality stats + defect component tables vs numpy."""
     import jax.numpy as jnp

@@ -84,6 +84,7 @@ def synth_dataset():
     return DS()
 
 
+@pytest.mark.slow
 def test_overfit_gate(synth_dataset):
     from unet_tpu.models import SimpleUNet
     from unet_tpu.train import overfit_test
@@ -93,6 +94,7 @@ def test_overfit_gate(synth_dataset):
     assert miou > 0.9  # trivially separable scene must be learnable
 
 
+@pytest.mark.slow
 def test_train_model_loop(synth_dataset, tmp_path):
     from unet_tpu.data.loader import Loader
     from unet_tpu.models import SimpleUNet
@@ -138,6 +140,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert "params" in variables
 
 
+@pytest.mark.slow
 def test_worst_sample_tracking(synth_dataset, tmp_path):
     import json
 
@@ -158,6 +161,7 @@ def test_worst_sample_tracking(synth_dataset, tmp_path):
     assert all(isinstance(w[0], float) and w[0] >= 0 for w in worst["worst"])
 
 
+@pytest.mark.slow
 def test_bf16_remat_training_converges(synth_dataset):
     """Recipes train in bf16 compute (the reference's AMP analogue,
     tools/train.py:115-136) with optional ConvBlock remat; the combination

@@ -3,6 +3,7 @@ serialized to StableHLO must reproduce the live pipeline's FrameOutputs, with
 a symbolic batch dimension (the reference's ONNX chain exports only the bare
 model forward, tools/export_onnx.py:18-137)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,7 @@ import jax.numpy as jnp
 from conftest import synthetic_cable_frame
 
 
+@pytest.mark.slow
 def test_pipeline_export_roundtrip(tmp_path):
     from unet_tpu.export import AotRunner, export_pipeline
     from unet_tpu.models import NestedUNet
@@ -42,6 +44,7 @@ def test_pipeline_export_roundtrip(tmp_path):
             np.testing.assert_array_equal(got[k], np.asarray(getattr(want, k)))
 
 
+@pytest.mark.slow
 def test_pipeline_export_geometry(tmp_path):
     """Geometry-enabled preset exports its DiameterMetrics subtree."""
     from unet_tpu.export import AotRunner, export_pipeline

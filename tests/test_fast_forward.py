@@ -35,6 +35,7 @@ def model_and_vars():
     return model, flax.traverse_util.unflatten_dict(out)
 
 
+@pytest.mark.slow
 def test_fast_forward_f32_matches_flax(model_and_vars, rng):
     from unet_tpu.models.fast_forward import fast_apply
     model, variables = model_and_vars
@@ -61,6 +62,7 @@ def test_packed_equals_unpacked_weights(model_and_vars, rng):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fast_forward_bf16_class_map(model_and_vars, rng):
     """bf16 packed forward agrees with the bf16 Flax forward at the class
     level on ~all pixels (ties under bf16 rounding may flip)."""

@@ -3,6 +3,10 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+# whole module is minute-scale (trains/loads real encoder weights);
+# quick lane skips it, the full lane (-m 'slow or not slow') runs it
+pytestmark = pytest.mark.slow
+
 
 import jax
 import jax.numpy as jnp

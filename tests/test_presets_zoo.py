@@ -211,6 +211,7 @@ def test_ultra_strict_threshold_semantics():
         assert np.array_equal(np.asarray(got_t)[b], want_t)
 
 
+@pytest.mark.slow
 def test_detect_vertical_roi_and_crop_roundtrip():
     """Dynamic-ROI ops: the detected band covers the busy columns; the
     crop+paste roundtrip puts mask pixels back where they came from."""

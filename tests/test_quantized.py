@@ -13,6 +13,10 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+# whole module is minute-scale (trains/loads real encoder weights);
+# quick lane skips it, the full lane (-m 'slow or not slow') runs it
+pytestmark = pytest.mark.slow
+
 
 from conftest import hard_cable_scene
 

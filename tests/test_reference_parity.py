@@ -158,6 +158,7 @@ def _burr_scene(seed=0, h=256, w=256):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_reference_burr_function_parity(seed):
     """Our fused burr stage vs the reference's actual detect_burrs_on_cable
     (reference infer_two_stage_burr.py:50-119) on the same inputs."""

@@ -111,6 +111,7 @@ def test_measure_cable_tape_diameter_px(cable_scene):
     assert measure_cable_tape_diameter_px(np.zeros((64, 64), np.int32)) is None
 
 
+@pytest.mark.slow
 def test_frames_ops(cable_scene):
     from unet_tpu.ops import frames as F
     bgr, _ = cable_scene
@@ -131,6 +132,7 @@ def test_frames_ops(cable_scene):
     assert back.shape == bgr.shape[:2]
 
 
+@pytest.mark.slow
 def test_nlm_denoise_improves_psnr(rng):
     from unet_tpu.ops.frames import nlm_denoise
     clean = np.zeros((48, 64), np.float32)

@@ -326,6 +326,7 @@ def test_cli_tools_required_flags(capsys):
             _cli(argv)
 
 
+@pytest.mark.slow
 def test_cli_infer_int8(tmp_path, rng, capsys):
     """cli infer --int8: calibrates on the video's first frames and runs the
     quantized pipeline end to end (smoke mode, tiny model size)."""
@@ -347,6 +348,7 @@ def test_cli_infer_int8(tmp_path, rng, capsys):
     assert len(rows) == 7  # header + 6 frames
 
 
+@pytest.mark.slow
 def test_cli_infer_int8_short_video_holdout(tmp_path, rng, monkeypatch, capsys):
     """VERDICT r3 item 8: on a short video (16 frames, fewer than
     2 x n_calib), the strided calibration sample and the agreement-gate

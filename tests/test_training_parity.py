@@ -10,7 +10,7 @@ Focal .35 gamma 2 / Tversky .45 a.25 b.75 / Dice .20) and the Flax
 IDENTICAL per-epoch batch order, then compares best-val mIoU computed by the
 same confusion-matrix code for both. This converts the repo's central claim
 (training-system parity behind the reference's published 79.97 % mIoU) into a
-measured number — see PARITY.md for the recorded runs.
+measured number — see docs/PARITY.md for the recorded runs.
 
 Env knobs for the manual (larger) run: UNET_TPU_PARITY_SIZE (default 64),
 UNET_TPU_PARITY_EPOCHS (default 25), UNET_TPU_PARITY_NTRAIN (default 32).
@@ -41,28 +41,16 @@ NUM_CLASSES = 3
 
 
 def make_scene(seed: int, h: int, w: int):
-    """Randomized cable scene: cable strip of varying width/position, tape
-    band of varying vertical extent, textured background. Variation lives in
-    GEOMETRY (position/width/extent) while the class appearances stay
-    distinct, so a correct training system saturates val mIoU and the
-    torch-vs-jax delta measures the systems, not task noise."""
-    r = np.random.default_rng(seed)
-    cable_w = int(r.integers(max(10, w // 6), max(14, w // 3)))
-    x1 = int(r.integers(4, w - cable_w - 8))
-    x2 = x1 + cable_w
-    bgr = r.uniform(45, 70, (h, w, 3))
-    mask = np.zeros((h, w), np.uint8)
-    bgr[:, x1:x2] = (r.uniform(170, 190),) * 3
-    mask[:, x1:x2] = 1
-    th = int(r.integers(h // 4, h // 2))
-    y1 = int(r.integers(0, h - th))
-    pad = int(r.integers(2, 5))
-    xa, xb = max(0, x1 - pad), min(w, x2 + pad)
-    bgr[y1:y1 + th, xa:xb] = (r.uniform(50, 70), r.uniform(80, 100),
-                              r.uniform(190, 215))
-    mask[y1:y1 + th, xa:xb] = 2
-    bgr += r.normal(0, 4, bgr.shape)
-    return (np.clip(bgr, 0, 255) / 255.0).astype(np.float32), mask.astype(np.int32)
+    """HARD randomized cable scene (conftest.hard_cable_scene): low-contrast
+    cable near the noise floor, thin tape bands, per-scene brightness
+    gradients, labeled occluders. The float task lands val mIoU ~0.6-0.9
+    (NOT saturated), so the torch-vs-jax delta can detect a real 1-2 %
+    training-system regression — on the original geometry-only scenes both
+    systems saturated (torch 0.9992 / jax 1.0000 at 100 epochs) and the gate
+    had no discriminating power (VERDICT r3 item 2)."""
+    from conftest import hard_cable_scene
+    bgr, mask = hard_cable_scene(seed, h=h, w=w)
+    return (bgr.astype(np.float32) / 255.0), mask.astype(np.int32)
 
 
 def make_dataset(n_train: int, n_val: int, hw: int):
@@ -180,25 +168,34 @@ def train_jax(train, val, epochs: int, ckpt_dir: str) -> float:
 
 @pytest.mark.slow
 def test_training_equivalence(tmp_path):
-    """Gate: both systems learn the task (mIoU > 0.9) and the Flax recipe's
-    best-val mIoU is NOT WORSE than the reference trainer's by more than
-    0.5 % absolute (one-sided: the rebuild must not lose accuracy; being
-    better is not a defect).
+    """Gate (VERDICT r3 item 2, de-saturated): on the HARD scenes both
+    systems must learn (mIoU > 0.5), the reference trainer must land BELOW
+    saturation (< 0.97, else the gate lost its discriminating power), and
+    the Flax recipe's best-val mIoU must not be worse than the reference
+    trainer's by more than 0.02 — the measured torch seed-to-seed spread
+    (0.638 vs 0.619), i.e. the task's own noise floor, replacing the 0.5 %
+    margin that only made sense at saturation.
 
-    Measured 2026-08-17 (this exact config, 64x64 / 32 train):
-    60 epochs: torch 0.9612 vs jax 0.9975 (delta +0.0363 — the Flax recipe
-    converges faster at identical hyperparameters); 100 epochs (saturation,
-    UNET_TPU_PARITY_EPOCHS=100): torch 0.9992 vs jax 1.0000 (delta +0.0008 —
-    equivalence at the task ceiling). Recorded in PARITY.md."""
+    Measured 2026-08-19 (this exact config, 64x64 / 32 train, 60 epochs,
+    hard scenes): torch(seed 0) 0.6380, torch(seed 1) 0.6194, jax 0.8871 —
+    delta +0.2491; the Flax recipe converges much faster at identical
+    hyperparameters on the non-saturated task. Historical saturated-scene
+    runs (2026-08-17): 60 ep torch 0.9612 / jax 0.9975; 100 ep torch 0.9992
+    / jax 1.0000 (equivalence at the task ceiling). All runs recorded in
+    docs/PARITY.md."""
     train, val = make_dataset(N_TRAIN, N_VAL, SIZE)
     miou_torch = train_torch(train, val, EPOCHS)
     miou_jax = train_jax(train, val, EPOCHS, str(tmp_path / "ckpt"))
     print(f"\ntraining parity @ {SIZE}x{SIZE}, {EPOCHS} epochs, "
-          f"{N_TRAIN} train / {N_VAL} val: "
+          f"{N_TRAIN} train / {N_VAL} val (hard scenes): "
           f"torch(reference)={miou_torch:.4f} jax(recipe)={miou_jax:.4f} "
           f"delta={miou_jax - miou_torch:+.4f}")
-    assert miou_torch > 0.9, f"reference trainer failed to learn ({miou_torch:.3f})"
-    assert miou_jax > 0.9, f"flax recipe failed to learn ({miou_jax:.3f})"
-    assert miou_jax >= miou_torch - 0.005, (
-        f"training parity broken: the rebuilt trainer is worse — "
-        f"torch {miou_torch:.4f} vs jax {miou_jax:.4f}")
+    assert miou_torch > 0.5, f"reference trainer failed to learn ({miou_torch:.3f})"
+    assert miou_torch < 0.97, (
+        f"gate lost discriminating power: reference trainer saturated the "
+        f"hard task ({miou_torch:.4f}) — harden the scenes")
+    assert miou_jax > 0.5, f"flax recipe failed to learn ({miou_jax:.3f})"
+    assert miou_jax >= miou_torch - 0.02, (
+        f"training parity broken: the rebuilt trainer is worse beyond the "
+        f"measured torch seed spread — torch {miou_torch:.4f} vs "
+        f"jax {miou_jax:.4f}")
