@@ -133,6 +133,48 @@ def test_spatial_sharded_full_shape_bit_exact(rng):
 
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatial_sharded_native_2448x2048_bit_exact(rng):
+    """VERDICT r3 item 6: spatial sharding at the NATIVE high-res source
+    shape — the concrete use case SURVEY §2.2 names for spatial parallelism
+    (reference infer_high_res_custom_roi.py:25-30 downscales 2448x2048
+    because one GPU must; the mesh does not have to). Frames enter at
+    (B, 2448, 2048, 3) with the H axis sharded over the mesh's spatial
+    dimension, flow through rotate90 + normalize-to-800x448 + the full
+    pipeline on-device, and the class maps / pixel counts must be bit-exact
+    vs a single device. Burr stays disabled as in the 800x448 proof above
+    (CC fixpoint cost on one CI core; identical GSPMD partitioning is proven
+    at small shape)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from unet_tpu import parallel
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import get_preset, stages
+    from unet_tpu.pipeline.config import PreprocessCfg
+
+    cfg = get_preset("high_res_roi").replace(
+        preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448),
+                                 model_size=(128, 128)),
+    ).replace_in("burr", method="none")
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                           train=False)
+    frames = (rng.random((2, 2448, 2048, 3)) * 255).astype(np.uint8)
+
+    ref = stages.build_step(model, cfg)(variables, frames)
+    mesh = parallel.make_mesh(n_data=2, n_spatial=4)
+    sharded = parallel.shard_pipeline_step(
+        lambda v, f: stages.run_pipeline(v, f, model=model, cfg=cfg),
+        mesh, spatial=True)
+    out = sharded(variables, frames)
+    np.testing.assert_array_equal(np.asarray(out.class_map),
+                                  np.asarray(ref.class_map))
+    for field in ("cable_px", "tape_px", "burr_px"):
+        np.testing.assert_array_equal(np.asarray(getattr(out, field)),
+                                      np.asarray(getattr(ref, field)))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_mesh_training_realistic_shape():
     """VERDICT r2 item 9: sharded training at a realistic resolution on the
     full 8-device (4 data x 2 spatial) mesh — 256^2 batch 8 with the flagship
