@@ -22,7 +22,6 @@ from __future__ import annotations
 import csv
 import json
 import time
-from collections import deque
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -200,6 +199,30 @@ class InferenceEngine:
     def _imwrite(path, img) -> None:
         from unet_tpu.events.emitters import _imwrite
         _imwrite(path, img)
+
+    @staticmethod
+    def _device_leaves(out) -> List[Any]:
+        """Every device array the host consumers will read from a step output."""
+        leaves = [out.class_map, out.cable_px, out.tape_px, out.burr_px]
+        if out.quality is not None:
+            leaves += list(out.quality)
+        if out.defect_components is not None:
+            leaves += [getattr(out.defect_components, f)
+                       for f in out.defect_components._fields]
+        if out.diameters is not None:
+            leaves += [out.diameters.dc_px, out.diameters.dt_px]
+        return leaves
+
+    @classmethod
+    def _start_download(cls, out) -> None:
+        """Kick off device->host copies of all output leaves right at
+        dispatch time, so the (high-latency, per-transfer round-trip)
+        transfers overlap device compute and the next batches' dispatch
+        instead of serializing inside _consume's np.asarray calls."""
+        for leaf in cls._device_leaves(out):
+            copy = getattr(leaf, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
 
     def _consume(self, ids: List[int], frames: np.ndarray, n_valid: int,
                  out, state: Dict[str, Any]) -> None:
@@ -388,9 +411,10 @@ class InferenceEngine:
         if self.ecfg.wrap_monitor_enabled and not self.cfg.geometry.enabled:
             raise ValueError("wrap_monitor_enabled requires cfg.geometry.enabled")
 
-        # 3-stage host pipeline: decode thread -> upload thread -> dispatch +
-        # consume (main). Decode of batch N+2 overlaps the H->D transfer of
-        # N+1 overlaps device compute / overlay / write of N — the reference's
+        # 4-stage host pipeline: decode thread -> upload thread -> dispatch +
+        # async-download-start (main) -> consume (sink thread). Decode of
+        # batch N+3 overlaps the H->D transfer of N+2 overlaps device compute
+        # + D->H copies of N+1 overlaps overlay/write of N — the reference's
         # loop is strictly sequential per frame (infer_two_stage_burr.py:269).
         # Per-leg wall time lands in state["legs"] (summary + bench config 6).
         import queue as _queue
@@ -464,14 +488,38 @@ class InferenceEngine:
             finally:
                 _put(upload_q, None)
 
+        # 4th stage: sink thread runs _consume (blocking download drain +
+        # overlay/write/events) off the main thread, so the main thread's
+        # steady-state cost is dispatch + starting async copies (~0) and the
+        # pipeline bound drops to max(decode, upload, host) per frame
+        consume_q: _queue.Queue = _queue.Queue(
+            maxsize=max(self.ecfg.max_in_flight, 1))
+
+        def sink():
+            try:
+                while True:
+                    try:
+                        item = consume_q.get(timeout=0.1)
+                    except _queue.Empty:
+                        if stop.is_set():
+                            return
+                        continue
+                    if item is None:
+                        return
+                    self._consume(*item, state)
+            except BaseException as e:
+                errors.append(e)
+                stop.set()  # unwedge producers; main loop checks `errors`
+
         threads = [_threading.Thread(target=decoder, daemon=True),
                    _threading.Thread(target=uploader, daemon=True)]
         for t in threads:
             t.start()
+        sink_t = _threading.Thread(target=sink, daemon=True)
+        sink_t.start()
 
-        in_flight: deque = deque()
         try:
-            while True:
+            while not errors:
                 item = upload_q.get()
                 if item is None:
                     break
@@ -482,15 +530,15 @@ class InferenceEngine:
                                     prev_frame_bgr=prev_dev)
                 else:
                     out = self.step(self.variables, fr_dev)
+                self._start_download(out)
                 legs["dispatch"] += time.perf_counter() - t0
-                in_flight.append((ids, frames, n_valid, out))
-                if len(in_flight) > self.ecfg.max_in_flight:
-                    self._consume(*in_flight.popleft(), state)
-            while in_flight:
-                self._consume(*in_flight.popleft(), state)
+                if not _put(consume_q, (ids, frames, n_valid, out)):
+                    break
+            _put(consume_q, None)
+            sink_t.join()  # drain the in-flight batches
         finally:
             stop.set()  # unblocks any producer still waiting on a full queue
-            for t in threads:
+            for t in threads + [sink_t]:
                 t.join(timeout=10.0)
         if errors:
             raise errors[0]
@@ -531,13 +579,14 @@ class InferenceEngine:
         elapsed = time.time() - state["t0"]
         n = max(state["processed"], 1)
         legs_ms = {k: round(v * 1000 / n, 3) for k, v in state["legs"].items()}
-        # with all three pipeline stages overlapped, steady-state throughput
-        # is bound by the slowest leg (decode | upload | main-thread
-        # dispatch+download+host); 'download' includes waiting out device
-        # compute, so this is the e2e projection incl. the device step
+        # with all four pipeline stages overlapped, steady-state throughput
+        # is bound by the slowest stage (decode | upload | main-thread
+        # dispatch | sink download+host); 'download' includes waiting out any
+        # device compute + D->H copy not yet drained when the sink gets the
+        # batch, so this is the e2e projection incl. the device step
         bottleneck = max(legs_ms["decode"], legs_ms["upload"],
-                         legs_ms["dispatch"] + legs_ms["download"]
-                         + legs_ms["host"])
+                         legs_ms["dispatch"],
+                         legs_ms["download"] + legs_ms["host"])
         summary = {
             "processed": state["processed"],
             "elapsed_sec": round(elapsed, 2),
