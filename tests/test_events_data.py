@@ -191,3 +191,42 @@ def test_augment_pipelines(rng):
     strong = StrongAugmentationPipeline(rng=np.random.default_rng(0))
     out_img, out_mask = strong(img, mask)
     assert out_img.ndim == 3 and out_mask.ndim == 2
+
+
+def test_random_fog_properties(rng):
+    """A.RandomFog-faithful (reference advanced_dataset.py:114): local white
+    circular overlays + blur -> brightens, spatially NON-uniform (unlike the
+    old global haze), deterministic under a seeded rng, image-only."""
+    from unet_tpu.data.augment import random_fog
+    img = (rng.random((96, 128, 3)) * 120).astype(np.uint8)
+    out = random_fog(img, 0.3, np.random.default_rng(1))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert out.astype(int).mean() > img.astype(int).mean()  # fog whitens
+    delta = out.astype(int).mean(axis=2) - img.astype(int).mean(axis=2)
+    # local circles: per-region brightening varies (global haze would not)
+    q = [delta[i:i + 24, j:j + 32].mean() for i in range(0, 96, 24)
+         for j in range(0, 128, 32)]
+    assert max(q) - min(q) > 1.0
+    again = random_fog(img, 0.3, np.random.default_rng(1))
+    assert np.array_equal(out, again)
+
+
+def test_random_rain_properties(rng):
+    """A.RandomRain-faithful (reference advanced_dataset.py:115): slanted
+    streaks + blur + 0.7x HSV brightness -> darkens overall, adds bright
+    streak pixels before the darkening, deterministic."""
+    import cv2
+
+    from unet_tpu.data.augment import random_rain
+    img = np.full((90, 120, 3), 90, np.uint8)
+    out = random_rain(img, 8, np.random.default_rng(2))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # brightness_coefficient 0.7 dominates: mean V drops vs the original
+    v_in = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)[..., 2].mean()
+    v_out = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)[..., 2].mean()
+    assert v_out < 0.85 * v_in
+    # streaks of drop_color(200) survive the 0.7 scale as pixels brighter
+    # than the uniformly-darkened 90 * 0.7 = 63 background
+    assert (out.max(axis=2) > 80).mean() > 0.01
+    again = random_rain(img, 8, np.random.default_rng(2))
+    assert np.array_equal(out, again)

@@ -6,15 +6,76 @@ Mirrors the reference's two systems:
     (reference src/data/augmentation.py:11-302)
   * the albumentations strong stack used by the flagship training run —
     random-resized-crop, flips, shift-scale-rotate, color jitter/HSV, noise,
-    blur, motion blur (reference src/data/advanced_dataset.py:87-120),
-    re-implemented directly (albumentations isn't a dependency here); the
-    p=0.2 fog/rain weather pair is approximated by a brightness haze overlay.
+    blur, motion blur, and the p=0.2 RandomFog/RandomRain weather pair
+    (reference src/data/advanced_dataset.py:87-120), re-implemented directly
+    with albumentations' documented algorithms (the library isn't a
+    dependency here).
 """
 from __future__ import annotations
 
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def random_fog(image: np.ndarray, fog_coef: float,
+               rng: np.random.Generator, alpha_coef: float = 0.08
+               ) -> np.ndarray:
+    """A.RandomFog-faithful fog (reference advanced_dataset.py:114 uses
+    RandomFog(fog_coef 0.1-0.3)): white circles of size ~W/3*fog_coef
+    alpha-blended at random positions densifying outward from the center,
+    then a box blur of kernel hw//10 — NOT a uniform whitening haze."""
+    import cv2
+    h, w = image.shape[:2]
+    hw = max(int(w // 3 * fog_coef), 10)
+    img = image.copy()
+    # haze centers: rings stepping outward from the image center, more
+    # circles per ring (albumentations' get_params walk)
+    index = 1
+    midx, midy = w // 2 - 2 * hw, h // 2 - hw
+    centers = []
+    while midx > -hw or midy > -hw:
+        for _ in range(max(hw // 10 * index, 1)):
+            x = int(rng.integers(midx, max(w - midx - hw, midx + 1)))
+            y = int(rng.integers(midy, max(h - midy - hw, midy + 1)))
+            centers.append((x, y))
+        midx -= 3 * hw * w // (w + h)
+        midy -= 3 * hw * h // (w + h)
+        index += 1
+    alpha = alpha_coef * fog_coef
+    for x, y in centers:
+        overlay = img.copy()
+        cv2.circle(overlay, (x + hw // 2, y + hw // 2), hw // 2,
+                   (255, 255, 255), -1)
+        img = cv2.addWeighted(overlay, alpha, img, 1 - alpha, 0)
+    k = max(hw // 10, 1)
+    return cv2.blur(img, (k, k))
+
+
+def random_rain(image: np.ndarray, slant: int, rng: np.random.Generator,
+                drop_length: int = 20, drop_width: int = 1,
+                drop_color=(200, 200, 200), blur_value: int = 7,
+                brightness_coefficient: float = 0.7) -> np.ndarray:
+    """A.RandomRain-faithful rain (reference advanced_dataset.py:115 uses
+    RandomRain(slant -10..10)): ~area/600 slanted streaks of drop_color,
+    a blur_value box blur, then HSV brightness scaled by 0.7 (rain scenes
+    are darker) — masks untouched, like albumentations."""
+    import cv2
+    h, w = image.shape[:2]
+    num_drops = (h * w) // 600
+    img = image.copy()
+    drop_length = min(drop_length, max(h - 1, 1))
+    for _ in range(num_drops):
+        x = int(rng.integers(slant, w)) if slant >= 0 else \
+            int(rng.integers(0, w + slant))
+        y = int(rng.integers(0, max(h - drop_length, 1)))
+        cv2.line(img, (x, y), (x + slant, y + drop_length), drop_color,
+                 drop_width)
+    img = cv2.blur(img, (blur_value, blur_value))
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 2] *= brightness_coefficient
+    return cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                        cv2.COLOR_HSV2RGB)
 
 
 def _warp(image, mask, M, out_wh):
@@ -147,10 +208,13 @@ class StrongAugmentationPipeline:
                 kern[k // 2, :] = 1.0 / k
                 image = cv2.filter2D(image, -1, kern)
 
-        # weather haze approximation (p=0.2)
+        # weather (p=0.2): fog OR rain, the reference's albumentations pair
+        # (advanced_dataset.py:113-116)
         if r.random() < 0.2:
-            fog = r.uniform(0.1, 0.3)
-            image = np.clip(image * (1 - fog) + 255 * fog, 0, 255).astype(np.uint8)
+            if r.integers(0, 2) == 0:
+                image = random_fog(image, float(r.uniform(0.1, 0.3)), r)
+            else:
+                image = random_rain(image, int(r.integers(-10, 11)), r)
         return image, mask
 
 
