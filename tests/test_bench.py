@@ -78,6 +78,50 @@ def test_fixed_points_skips_failing_point(small_presets, monkeypatch):
     assert extra["realtime_per_batch_fps"] == round(best["fps"], 2)
 
 
+@pytest.mark.slow
+def test_fixed_points_soft_budget_skips_tail(small_presets, monkeypatch):
+    """Once budget_s of wall clock is spent, remaining points are skipped —
+    the guard that keeps a cold-cache compile pile-up from blowing the
+    driver's timeout (BENCH_r03.json rc=124). The first point always runs."""
+    calls = []
+    real = bench._throughput
+
+    def throughput(step, variables, frames, batch, **kw):
+        calls.append(batch)
+        return real(step, variables, frames, batch, **kw)
+
+    monkeypatch.setattr(bench, "_throughput", throughput)
+    results = bench._fixed_points(
+        "two_stage", {},
+        [("per_batch", 2, "bf16"), ("per_batch", 4, "bf16")],
+        frame_hw=(64, 96), budget_s=0.0)  # budget already spent after pt 1
+    assert [r["batch"] for r in results] == [2]
+    assert calls == [2]
+    assert bench._PARTIAL["results"] is results  # live for the SIGTERM path
+
+
+def test_emit_partial_exits_zero_with_headline(monkeypatch, capsys):
+    """The SIGTERM fallback prints a complete headline JSON from the points
+    measured so far and exits 0 (rc=124 with no output records nothing)."""
+    import json
+
+    bench._PARTIAL["stem"] = "two_stage_800x448"
+    bench._PARTIAL["results"] = [
+        {"mode": "chunked", "batch": 96, "dtype": "int8",
+         "fps": 388.2, "median": 387.5}]
+    codes = []
+    monkeypatch.setattr(bench.os, "_exit", lambda c: codes.append(c))
+    bench._emit_partial_and_exit(15, None)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert codes == [0]
+    assert out["value"] == 388.2 and "int8" in out["metric"]
+    assert out["partial"].startswith("signal 15")
+    # with nothing measured yet there is nothing honest to print: exit 124
+    bench._PARTIAL["results"] = []
+    bench._emit_partial_and_exit(15, None)
+    assert codes == [0, 124]
+
+
 def test_headline_picks_best_and_reports_both_dtypes():
     results = [
         {"mode": "chunked", "batch": 96, "dtype": "int8",
