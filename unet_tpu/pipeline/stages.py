@@ -28,6 +28,7 @@ from unet_tpu.ops import cc as _cc
 from unet_tpu.ops import clahe as _clahe
 from unet_tpu.ops import color as _color
 from unet_tpu.ops import edges as _edges
+from unet_tpu.ops import frames as _frames_ops
 from unet_tpu.ops import geometry as _geo
 from unet_tpu.ops import image as _image
 from unet_tpu.ops import morph as _morph
@@ -113,9 +114,13 @@ def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     """CLAHE(L) + denoise + sharpen enhancement preset
     (reference infer_enhanced_burr.py:38-66) on device.
 
-    The reference's fastNlMeansDenoisingColored is approximated per
-    cfg.preprocess.denoise: 'bilateral' (the reference's own configurable
-    alternative, src/refactor/config.py:51) or 'none'; full NLM pending.
+    cfg.preprocess.denoise selects the denoiser: 'nlm' is the reference's
+    own fastNlMeansDenoisingColored(h=10, hColor=10, 7, 21) in device form
+    (ops/frames.nlm_denoise_colored); 'bilateral' (default) is the
+    reference's configurable alternative (src/refactor/config.py:51), which
+    docs/PERF.md §5 measures as mask-equivalent on this content class at a
+    fraction of the cost (NLM is 441 shifted box-filter passes per channel);
+    'none' skips denoising.
     """
     l, a, b = _color.bgr2lab(bgr)
     l = _clahe.clahe(jnp.clip(jnp.round(l), 0, 255),
@@ -123,6 +128,8 @@ def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     out = _color.lab2bgr(l, a, b)
     if cfg.preprocess.denoise == "bilateral":
         out = _image.bilateral_filter(out, d=7, sigma_color=25.0, sigma_space=5.0)
+    elif cfg.preprocess.denoise in ("nlm", "fastNlMeans"):
+        out = _frames_ops.nlm_denoise_colored(out, h=10.0, h_color=10.0)
     out = jnp.clip(_image.sharpen(out), 0.0, 255.0)
     return out
 
