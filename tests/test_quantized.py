@@ -123,7 +123,7 @@ def test_int8_miou_delta(trained):
     scenes, measured on a NON-SATURATED task: the float model must land
     mIoU in (0.75, 0.97) so the gate has discriminating power (measured:
     float 0.8335, int8 0.8351, delta -0.0016 — int8 does not lose accuracy;
-    docs/PERF.md §3b)."""
+    docs/PARITY.md §3)."""
     from unet_tpu.models.quantized import calibrate, int8_apply
     model, variables, images, labels = trained
     vx, vy = _val_set()
@@ -154,8 +154,10 @@ def test_agreement_threshold_is_derived(trained):
       0.9940) exactly when it violates the budget (drop +0.0077),
 
     so agreement >= 0.995 separates within-budget from out-of-budget int8
-    on content where mIoU can actually move. Full degradation curve
-    (x1.5..x16) in docs/PERF.md §3b."""
+    on content where mIoU can actually move. Full recorded degradation
+    curve (x1..x16, all seven points classified correctly by the 0.995
+    threshold): docs/PARITY.md §3
+    (docs/experiments/measure_int8_degradation.py)."""
     from unet_tpu.models.quantized import calibrate, int8_apply
     model, variables, images, labels = trained
     vx, vy = _val_set()
