@@ -70,11 +70,18 @@ def nlm_denoise(gray: jnp.ndarray, h: float = 10.0, template: int = 7,
     (cv2 uses integer LUT approximations internally).
     """
     r = search // 2
-    x = gray.astype(jnp.float32)
+    # reflect-pad (BORDER_REFLECT_101, cv2's default) by the search+template
+    # radius so border patch candidates come from reflected content, not the
+    # opposite image edge (jnp.roll wraps — with search=21 the affected band
+    # was 10 px wide)
+    pad = r + template // 2
+    x0 = gray.astype(jnp.float32)
+    h_ax, w_ax = x0.ndim - 2, x0.ndim - 1
+    widths = [(0, 0)] * (x0.ndim - 2) + [(pad, pad), (pad, pad)]
+    x = jnp.pad(x0, widths, mode="reflect")
     area = float(template * template)
     box = np.ones(template, np.float32)
 
-    h_ax, w_ax = x.ndim - 2, x.ndim - 1
     inv_h2 = 1.0 / (h * h)
     # all non-center offsets, scanned (one traced body instead of search²-1
     # unrolled passes — the unrolled form compiled for minutes at search=21)
@@ -97,7 +104,9 @@ def nlm_denoise(gray: jnp.ndarray, h: float = 10.0, template: int = 7,
     # center pixel weight = max weight convention (cv2-style)
     num = num + x
     den = den + 1.0
-    return num / den
+    out = num / den
+    return out[tuple([slice(None)] * (x0.ndim - 2)
+                     + [slice(pad, -pad), slice(pad, -pad)])]
 
 
 def nlm_denoise_colored(bgr: jnp.ndarray, h: float = 10.0, h_color: float = 10.0,
