@@ -39,7 +39,10 @@ def _emit_partial_and_exit(signum, _frame):
         return os._exit(124)
     best, extra = _headline(results)
     tag = "_int8" if best["dtype"] == "int8" else ""
-    print(json.dumps({
+    # one os.write of a leading-newline-terminated line: the signal can land
+    # mid-print of another stdout line, and a single atomic-ish write of
+    # "\n{...}\n" keeps the JSON parseable even then
+    line = json.dumps({
         "metric": f"{_PARTIAL['stem']}{tag}_fps_per_chip(batch={best['batch']})",
         "value": round(best["fps"], 2),
         "unit": "frames/sec",
@@ -47,7 +50,8 @@ def _emit_partial_and_exit(signum, _frame):
         "median_fps": round(best["median"], 2),
         "partial": f"signal {signum} after {len(results)} points",
         **extra,
-    }), flush=True)
+    })
+    os.write(1, ("\n" + line + "\n").encode())
     return os._exit(0)
 
 
@@ -351,7 +355,9 @@ def config6():
             # per-leg wall breakdown (engine 3-stage pipeline): in production
             # the steady-state e2e rate is 1000 / max(leg) ms — see PERF.md §4
             "legs_ms_per_frame": summary["legs_ms_per_frame"],
-            "pipelined_fps_bound": summary["pipelined_fps_bound"]}
+            "pipelined_fps_bound": summary["pipelined_fps_bound"],
+            # per-batch dispatch->consumed latency (real-time spec half)
+            "batch_latency_ms": summary["batch_latency_ms"]}
 
 
 # Known-best operating points per config (docs/PERF.md §3f batch-scaling
@@ -363,7 +369,9 @@ FIXED_POINTS = {
         ("per_batch", 32, "int8")],
     3: [("chunked", 96, "int8"), ("chunked", 128, "bf16")],
     4: [("chunked", 8, "bf16"), ("per_batch", 4, "bf16")],
-    5: [("chunked", 96, "bf16")],
+    # int8 won both other 800x448 configs (2 and 3), so the wrap headline
+    # measures it first (VERDICT r4 weak #5)
+    5: [("chunked", 96, "int8"), ("chunked", 96, "bf16")],
 }
 
 
@@ -456,6 +464,14 @@ def main(argv=None) -> None:
                 pass  # non-main thread / restricted env
         results = _fixed_points(preset, kwargs, FIXED_POINTS[args.config],
                                 frame_hw=frame_hw, budget_s=args.budget_s)
+        # measurement done: restore default handlers so a late signal
+        # (during the final JSON print or config 5's server bench) cannot
+        # emit a second, interleaved partial line
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, signal.SIG_DFL)
+            except (ValueError, OSError):
+                pass
         if not results:
             print(json.dumps({"metric": f"{stem}_fps", "value": 0.0,
                               "unit": "frames/sec", "vs_baseline": 0.0,

@@ -100,24 +100,29 @@ def test_fixed_points_soft_budget_skips_tail(small_presets, monkeypatch):
     assert bench._PARTIAL["results"] is results  # live for the SIGTERM path
 
 
-def test_emit_partial_exits_zero_with_headline(monkeypatch, capsys):
+def test_emit_partial_exits_zero_with_headline(monkeypatch):
     """The SIGTERM fallback prints a complete headline JSON from the points
     measured so far and exits 0 (rc=124 with no output records nothing)."""
     import json
 
-    bench._PARTIAL["stem"] = "two_stage_800x448"
-    bench._PARTIAL["results"] = [
+    monkeypatch.setitem(bench._PARTIAL, "stem", "two_stage_800x448")
+    monkeypatch.setitem(bench._PARTIAL, "results", [
         {"mode": "chunked", "batch": 96, "dtype": "int8",
-         "fps": 388.2, "median": 387.5}]
+         "fps": 388.2, "median": 387.5}])
     codes = []
+    writes = []
     monkeypatch.setattr(bench.os, "_exit", lambda c: codes.append(c))
+    # the handler emits via one os.write(1, ...) so a mid-print signal
+    # cannot interleave; capture the payload instead of raw stdout
+    monkeypatch.setattr(bench.os, "write", lambda fd, b: writes.append((fd, b)))
     bench._emit_partial_and_exit(15, None)
-    out = json.loads(capsys.readouterr().out.strip())
     assert codes == [0]
+    assert len(writes) == 1 and writes[0][0] == 1
+    out = json.loads(writes[0][1].decode().strip())
     assert out["value"] == 388.2 and "int8" in out["metric"]
     assert out["partial"].startswith("signal 15")
     # with nothing measured yet there is nothing honest to print: exit 124
-    bench._PARTIAL["results"] = []
+    monkeypatch.setitem(bench._PARTIAL, "results", [])
     bench._emit_partial_and_exit(15, None)
     assert codes == [0, 124]
 

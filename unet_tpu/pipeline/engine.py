@@ -390,7 +390,7 @@ class InferenceEngine:
         state: Dict[str, Any] = {
             "processed": 0, "burr_frames": 0, "csv_rows": [], "skipped": [],
             "detector_events": [], "confirmed_defects": [], "wrap_events": [],
-            "gated_events": [], "window_frames": [],
+            "gated_events": [], "window_frames": [], "batch_lat_ms": [],
             "legs": {"decode": 0.0, "upload": 0.0, "dispatch": 0.0,
                      "download": 0.0, "host": 0.0},
             "t0": time.time(), "decisions": [], "fps_in": source.meta.fps,
@@ -506,7 +506,13 @@ class InferenceEngine:
                         continue
                     if item is None:
                         return
-                    self._consume(*item, state)
+                    ids_b, frames_b, n_valid_b, out_b, t_dispatch = item
+                    self._consume(ids_b, frames_b, n_valid_b, out_b, state)
+                    # per-batch latency: dispatch entry -> results consumed
+                    # (device step + D->H + overlay/write/events); a real-time
+                    # product is specified by this, not just throughput
+                    state["batch_lat_ms"].append(
+                        (time.perf_counter() - t_dispatch) * 1000.0)
             except BaseException as e:
                 errors.append(e)
                 stop.set()  # unwedge producers; main loop checks `errors`
@@ -532,7 +538,7 @@ class InferenceEngine:
                     out = self.step(self.variables, fr_dev)
                 self._start_download(out)
                 legs["dispatch"] += time.perf_counter() - t0
-                if not _put(consume_q, (ids, frames, n_valid, out)):
+                if not _put(consume_q, (ids, frames, n_valid, out, t0)):
                     break
             _put(consume_q, None)
             sink_t.join()  # drain the in-flight batches
@@ -587,6 +593,15 @@ class InferenceEngine:
         bottleneck = max(legs_ms["decode"], legs_ms["upload"],
                          legs_ms["dispatch"],
                          legs_ms["download"] + legs_ms["host"])
+        lat = sorted(state["batch_lat_ms"])
+        batch_latency = None
+        if lat:
+            batch_latency = {
+                "batch": self.ecfg.batch,
+                "p50": round(lat[len(lat) // 2], 1),
+                "p99": round(lat[min(len(lat) - 1,
+                                     int(len(lat) * 0.99))], 1),
+                "max": round(lat[-1], 1)}
         summary = {
             "processed": state["processed"],
             "elapsed_sec": round(elapsed, 2),
@@ -594,6 +609,11 @@ class InferenceEngine:
             "legs_ms_per_frame": legs_ms,
             "pipelined_fps_bound": round(1000.0 / bottleneck, 2)
             if bottleneck > 0 else None,
+            # per-batch dispatch->consumed latency percentiles (ms):
+            # a real-time inspection product is specified by latency AND
+            # throughput (reference loop was frame-serial so its latency
+            # equaled 1/FPS; here batches pipeline, so they differ)
+            "batch_latency_ms": batch_latency,
             "burr_frames": state["burr_frames"],
             "skipped_frames": len(state["skipped"]),
             "detector_events": len(state["detector_events"]),
