@@ -45,8 +45,15 @@ def enhanced(enhance: bool = True) -> PipelineCfg:
     25px band, VERTICAL_ROI {x 200-600 in 800x448}, forced rotate+normalize."""
     return PipelineCfg(
         name="enhanced",
+        # denoise="nlm": the reference's enhanced path uses
+        # fastNlMeansDenoisingColored (infer_enhanced_burr.py:58), and the
+        # recorded fidelity measurement (docs/PERF.md §6) shows bilateral is
+        # NOT mask-equivalent to that chain (class-map agreement 0.91 vs
+        # nlm's 0.989, +65 % spurious burr px) — bilateral remains the
+        # config default elsewhere, matching the reference's refactor
+        # pipeline default (src/refactor/config.py:51)
         preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448),
-                                 enhance=enhance),
+                                 enhance=enhance, denoise="nlm"),
         segment=SegmentCfg(num_classes=3),
         burr=BurrCfg(method="multiscale", band_px=25, canny_low=30, canny_high=100,
                      sobel_thresh=50, laplacian_thresh=15, close_ksize=5,

@@ -114,12 +114,16 @@ def enhance_frames(bgr: jnp.ndarray, cfg: PipelineCfg) -> jnp.ndarray:
     """CLAHE(L) + denoise + sharpen enhancement preset
     (reference infer_enhanced_burr.py:38-66) on device.
 
-    cfg.preprocess.denoise selects the denoiser: 'nlm' is the reference's
-    own fastNlMeansDenoisingColored(h=10, hColor=10, 7, 21) in device form
-    (ops/frames.nlm_denoise_colored); 'bilateral' (default) is the
-    reference's configurable alternative (src/refactor/config.py:51), which
-    docs/PERF.md §5 measures as mask-equivalent on this content class at a
-    fraction of the cost (NLM is 441 shifted box-filter passes per channel);
+    cfg.preprocess.denoise selects the denoiser: 'nlm' — the enhanced
+    preset's default — is the reference's own
+    fastNlMeansDenoisingColored(h=10, hColor=10, 7, 21) in device form
+    (ops/frames.nlm_denoise_colored); the recorded fidelity measurement
+    (docs/PERF.md §6, docs/experiments/measure_nlm_masks.py) shows it
+    reproduces the reference's cv2 enhance chain at 28 dB PSNR / 0.989
+    class-map agreement, while 'bilateral' — the reference's configurable
+    refactor-pipeline alternative (src/refactor/config.py:51), cheaper
+    (NLM is 441 shifted box-filter passes per channel) — lands at 15 dB /
+    0.91 agreement with +65 % spurious burr px, i.e. NOT mask-equivalent;
     'none' skips denoising.
     """
     l, a, b = _color.bgr2lab(bgr)
