@@ -227,3 +227,28 @@ def test_pipeline_int8_calibrated(trained):
     out = stages.build_step(model, qcfg)(variables, frames)
     agree = (np.asarray(out.class_map) == np.asarray(ref.class_map)).mean()
     assert agree > 0.95, f"pipeline int8 class-map agreement {agree:.3f}"
+
+
+def test_pair_conv_bit_exact():
+    """The concat-free decoder (r5): conv(cat(a, b), W) must equal
+    conv(a, W[..Ca]) + conv(b, W[Ca..]) BIT-exactly — int32 accumulation is
+    associative, so splitting the input channels (which lets the forward
+    skip materializing every decoder concat, docs/PERF.md 2c) cannot change
+    a single accumulator value. Checked for the plain 3x3 and the packed
+    4x4/stride-2 form."""
+    from unet_tpu.models.quantized import QLayer, _qconv
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (2, 16, 16, 8)), jnp.int8)
+    b = jnp.asarray(rng.integers(0, 128, (2, 16, 16, 24)), jnp.int8)
+    cat = jnp.concatenate([a, b], axis=-1)
+
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, 32, 16)), jnp.int8)
+    l = QLayer(wq=wq, s_w=jnp.ones((16,)), b=jnp.zeros((16,)), packed=False)
+    np.testing.assert_array_equal(np.asarray(_qconv((a, b), l)),
+                                  np.asarray(_qconv(cat, l)))
+
+    wqp = jnp.asarray(rng.integers(-127, 128, (4, 4, 32, 64)), jnp.int8)
+    lp = QLayer(wq=wqp, s_w=jnp.ones((64,)), b=jnp.zeros((64,)), packed=True)
+    np.testing.assert_array_equal(np.asarray(_qconv((a, b), lp)),
+                                  np.asarray(_qconv(cat, lp)))

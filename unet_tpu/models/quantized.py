@@ -180,12 +180,28 @@ def prepare_int8_params(variables: Dict[str, Any],
 # int8 forward
 # ---------------------------------------------------------------------------
 
-def _qconv(xq: jnp.ndarray, l: QLayer) -> jnp.ndarray:
-    """int8 conv -> int32 accumulator."""
-    return jax.lax.conv_general_dilated(
-        xq, l.wq, ((2, 2) if l.packed else (1, 1)), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
+def _qconv(xq, l: QLayer) -> jnp.ndarray:
+    """int8 conv -> int32 accumulator.
+
+    `xq` may be a PAIR (skip, upsampled) from a decoder concat point: the
+    concat is then never materialized — the conv splits along its input
+    channels, conv(cat(a,b), W) == conv(a, W[..a]) + conv(b, W[a..]), and
+    the int32 accumulator sum is associative so the result is BIT-IDENTICAL
+    to the concat form (tests/test_quantized.py::test_pair_conv_bit_exact).
+    Skipping the concat removes up to 2.4 GB/b96 of HBM write+read per
+    decoder level (the r5 per-op profile measured the forward's glue at
+    0.71 ms/frame, 35 % of the int8 forward; docs/PERF.md §2c)."""
+    def conv(t, w):
+        return jax.lax.conv_general_dilated(
+            t, w, ((2, 2) if l.packed else (1, 1)), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+
+    if isinstance(xq, tuple):
+        a, b = xq
+        ca = a.shape[-1]
+        return conv(a, l.wq[:, :, :ca]) + conv(b, l.wq[:, :, ca:])
+    return conv(xq, l.wq)
 
 
 def _requant(acc: jnp.ndarray, l: QLayer, out_scale: float,
@@ -218,7 +234,9 @@ def _up_int8(xq: jnp.ndarray, scale: float, dtype) -> jnp.ndarray:
 def _run_topology(p, x, block):
     """Shared UNet wiring (reference src/models/unetpp.py:93-135): encoder
     chain + plain-chain decoder. `block` handles packing/dtype specifics;
-    pooling/upsample/concat dispatch on the tensor dtype."""
+    pooling/upsample/concat dispatch on the tensor dtype. On the int8 path
+    decoder concats are passed to `block` as PAIRS and the conv splits its
+    input channels instead (see _qconv) — no full-res concat materializes."""
     int8 = x.dtype == jnp.int8
     plain_pool = _maxpool2_int8 if int8 else _maxpool2
 
@@ -241,7 +259,8 @@ def _run_topology(p, x, block):
             return _up_int8(t, p.scales[f"{name}.relu2"], p.dtype)
         return upsample2x_align_corners(t, t.ndim - 3, t.ndim - 2)
 
-    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    cat = ((lambda a, b: (a, b)) if int8
+           else lambda a, b: jnp.concatenate([a, b], axis=-1))
 
     x0_0p = block("conv0_0", x, keep_packed=True)
     x1_0p = block("conv1_0", pool("conv0_0", x0_0p), keep_packed=True)
