@@ -481,6 +481,18 @@ def main(argv=None) -> None:
         fps, med = best["fps"], best["median"]
         tag = "_int8" if best["dtype"] == "int8" else ""
         name = f"{stem}{tag}_fps_per_chip(batch={best['batch']})"
+        if args.config == 3:
+            # the enhanced preset's default denoiser is now the
+            # mask-faithful NLM (PERF.md §6); also record the documented
+            # fast alternative (bilateral, the reference's refactor-
+            # pipeline default) at the headline's operating point
+            alt = _fixed_points("enhanced",
+                                {"enhance": True, "denoise": "bilateral"},
+                                [(best["mode"], best["batch"],
+                                  best["dtype"])],
+                                frame_hw=frame_hw, budget_s=args.budget_s)
+            if alt:
+                extra["bilateral_fps"] = round(alt[0]["fps"], 2)
         if args.config == 5:
             extra["multistream_server_fps(streams=8)"] = round(
                 _multistream_bench(), 2)

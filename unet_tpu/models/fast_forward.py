@@ -115,6 +115,32 @@ def _conv(x, w, b, stride: int, padding: int):
     return y + b.astype(x.dtype)
 
 
+def _conv_cat_free(pair, w, b, stride: int, padding: int):
+    """conv(cat(a, c), W) WITHOUT materializing the concat: W splits along
+    its input channels and the two partial convs accumulate in f32 before a
+    single round to the compute dtype. Decoder concats at full resolution
+    materialize up to 4.8 GB/b96 of bf16 before the conv reads them back —
+    the int8 twin of this trick (models/quantized._qconv, bit-exact there
+    because int32 adds are associative) measured −6.4 % on the whole int8
+    forward (docs/PERF.md §2c). Here the f32 partial-sum add matches the
+    MXU's internal f32 accumulation, so the result stays within the
+    float-reassociation envelope the fast-forward equivalence tests
+    already allow."""
+    a, c = pair
+    ca = a.shape[-1]
+
+    def part(t, ww):
+        return jax.lax.conv_general_dilated(
+            t, ww.astype(t.dtype), (stride, stride),
+            [(padding, padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    y = part(a, w[:, :, :ca]) + part(c, w[:, :, ca:]) \
+        + b.astype(jnp.float32)
+    return y.astype(a.dtype)
+
+
 def prepare_fast_params(variables: Dict[str, Any], dtype=jnp.bfloat16,
                         pack_max_cout: int = PACK_MAX_COUT) -> FastParams:
     """Fold BN, phase-pack the lane-starved layers. Custom-encoder NestedUNet
@@ -146,7 +172,9 @@ def _block(fp: FastParams, name: str, x: jnp.ndarray,
     """conv-BN(folded)-ReLU x2. Returns packed (B,H/2,W/2,4C) when the second
     conv is packed and keep_packed, else unpacked (B,H,W,C)."""
     l1, l2 = fp.blocks[name]
-    y = _conv(x, l1.w, l1.b, 2 if l1.packed else 1, 1)
+    s1 = 2 if l1.packed else 1
+    y = (_conv_cat_free(x, l1.w, l1.b, s1, 1) if isinstance(x, tuple)
+         else _conv(x, l1.w, l1.b, s1, 1))
     y = jax.nn.relu(y)
     if l1.packed:
         y = unpack_phases(y)
@@ -162,7 +190,10 @@ def nested_unet_forward_fast(fp: FastParams, x: jnp.ndarray) -> jnp.ndarray:
     reference src/models/unetpp.py:93-135). Returns (B, H, W, num_classes)."""
     x = x.astype(fp.dtype)
     up = lambda t: upsample2x_align_corners(t, t.ndim - 3, t.ndim - 2)
-    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    # decoder concats travel as (skip, up) pairs into the consuming conv,
+    # which splits its input channels instead (_conv_cat_free) — no
+    # full-resolution concat ever materializes
+    cat = lambda a, b: (a, b)
 
     def is_packed(name):
         return fp.blocks[name][1].packed

@@ -39,7 +39,7 @@ def two_stage(sensitivity: str = "medium", rotate: bool = False,
     )
 
 
-def enhanced(enhance: bool = True) -> PipelineCfg:
+def enhanced(enhance: bool = True, denoise: str = "nlm") -> PipelineCfg:
     """Enhanced detector (reference infer_enhanced_burr.py): CLAHE+denoise+
     sharpen preprocessing, multi-scale Canny|Sobel|Laplacian fusion, wide
     25px band, VERTICAL_ROI {x 200-600 in 800x448}, forced rotate+normalize."""
@@ -53,7 +53,7 @@ def enhanced(enhance: bool = True) -> PipelineCfg:
         # config default elsewhere, matching the reference's refactor
         # pipeline default (src/refactor/config.py:51)
         preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448),
-                                 enhance=enhance, denoise="nlm"),
+                                 enhance=enhance, denoise=denoise),
         segment=SegmentCfg(num_classes=3),
         burr=BurrCfg(method="multiscale", band_px=25, canny_low=30, canny_high=100,
                      sobel_thresh=50, laplacian_thresh=15, close_ksize=5,
