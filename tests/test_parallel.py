@@ -102,13 +102,10 @@ def test_spatial_sharded_full_shape_bit_exact(rng):
     from unet_tpu.pipeline import get_preset, stages
     from unet_tpu.pipeline.config import PreprocessCfg
 
-    # high_res path at full working res; model_size reduced (the model is
-    # resolution-agnostic, and 512^2 exists solely as compile cost here —
-    # the sharded axes under test are the 800x448 FRAME axes). The burr
-    # stage is disabled HERE only because its CC label-propagation scans at
-    # this resolution take ~1 h on the single CI CPU core; its sharding
-    # bit-exactness is proven at small shape above (identical program
-    # structure — shapes change, the GSPMD partitioning does not).
+    # high_res path at full working res; model_size reduced and burr off to
+    # keep this fast — the FULL-fidelity composition (512^2 model + burr at
+    # native source resolution) is proven end-to-end by
+    # test_spatial_sharded_native_full_fidelity_bit_exact below.
     cfg = get_preset("high_res_roi").replace(
         preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448),
                                  model_size=(128, 128)),
@@ -141,9 +138,9 @@ def test_spatial_sharded_native_2448x2048_bit_exact(rng):
     (B, 2448, 2048, 3) with the H axis sharded over the mesh's spatial
     dimension, flow through rotate90 + normalize-to-800x448 + the full
     pipeline on-device, and the class maps / pixel counts must be bit-exact
-    vs a single device. Burr stays disabled as in the 800x448 proof above
-    (CC fixpoint cost on one CI core; identical GSPMD partitioning is proven
-    at small shape)."""
+    vs a single device. This variant keeps a small model + burr off so the
+    native-shape frame path stays in the cheap half of the slow lane; the
+    full-fidelity composition is the test below."""
     import jax.numpy as jnp  # noqa: F401
 
     from unet_tpu import parallel
@@ -157,6 +154,47 @@ def test_spatial_sharded_native_2448x2048_bit_exact(rng):
     ).replace_in("burr", method="none")
     model = NestedUNet(num_classes=3, deep_supervision=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                           train=False)
+    frames = (rng.random((2, 2448, 2048, 3)) * 255).astype(np.uint8)
+
+    ref = stages.build_step(model, cfg)(variables, frames)
+    mesh = parallel.make_mesh(n_data=2, n_spatial=4)
+    sharded = parallel.shard_pipeline_step(
+        lambda v, f: stages.run_pipeline(v, f, model=model, cfg=cfg),
+        mesh, spatial=True)
+    out = sharded(variables, frames)
+    np.testing.assert_array_equal(np.asarray(out.class_map),
+                                  np.asarray(ref.class_map))
+    for field in ("cable_px", "tape_px", "burr_px"):
+        np.testing.assert_array_equal(np.asarray(getattr(out, field)),
+                                      np.asarray(getattr(ref, field)))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatial_sharded_native_full_fidelity_bit_exact(rng):
+    """VERDICT r4 item 6: the FULL-fidelity native-res proof — the shipped
+    high_res_roi program (512^2 model, canny_band burr + CC filtering ON,
+    reference infer_high_res_custom_roi.py:25-30) over native 2448x2048
+    source frames on the 4x2 data x spatial mesh, bit-exact vs one device
+    including burr_px. Feasible now: the run-scanner CC fixpoint does the
+    whole step in ~6.5 s/frame on one CI CPU core (the r2-era ~1 h estimate
+    predated ops/cc.py's row-scan seeding), so ref + sharded runs plus
+    compiles fit in a few slow-lane minutes."""
+    import jax.numpy as jnp
+
+    from unet_tpu import parallel
+    from unet_tpu.models import NestedUNet
+    from unet_tpu.pipeline import get_preset, stages
+    from unet_tpu.pipeline.config import PreprocessCfg
+
+    cfg = get_preset("high_res_roi").replace(
+        preprocess=PreprocessCfg(rotate90_ccw=True, normalize_wh=(800, 448),
+                                 model_size=(512, 512)),
+    )
+    assert cfg.burr.method == "canny_band"  # the shipped preset, unreduced
+    model = NestedUNet(num_classes=3, deep_supervision=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)),
                            train=False)
     frames = (rng.random((2, 2448, 2048, 3)) * 255).astype(np.uint8)
 

@@ -10,6 +10,11 @@ Mirrors the reference's two systems:
     (reference src/data/advanced_dataset.py:87-120), re-implemented directly
     with albumentations' documented algorithms (the library isn't a
     dependency here).
+
+Caveat (VERDICT r4 item 8): fog/rain follow albumentations' published
+algorithms and are property-tested (tests/test_events_data.py), but the
+library is absent from this image, so distribution-level agreement against
+real albumentations outputs has not been measured.
 """
 from __future__ import annotations
 
