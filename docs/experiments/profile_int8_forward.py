@@ -61,21 +61,26 @@ def main():
 
     def timed(fn, x0, reps=3):
         """ms per fn(x0) call under a k-iteration scan with a single-element
-        data-dependent bump (same anti-hoist method as the other profiles)."""
+        data-dependent bump (same anti-hoist method as the other profiles).
+        `x0` may be a pytree (the concat-free decoder consumes (skip, up)
+        pairs); the bump lands on the first leaf."""
         def run(x0):
             def body(carry, _):
                 out = fn(carry)
                 s = sum(jnp.sum(l.astype(jnp.float32))
                         for l in jax.tree_util.tree_leaves(out))
                 bump = s * 1e-30 > 1.0  # False at runtime, unknown to XLA
+                leaves, treedef = jax.tree_util.tree_flatten(carry)
+                c0 = leaves[0]
                 v = jax.lax.dynamic_slice(
-                    carry, (0,) * carry.ndim, (1,) * carry.ndim)
-                nv = v + bump.astype(carry.dtype)
-                return jax.lax.dynamic_update_slice(
-                    carry, nv, (0,) * carry.ndim), s
+                    c0, (0,) * c0.ndim, (1,) * c0.ndim)
+                leaves[0] = jax.lax.dynamic_update_slice(
+                    c0, v + bump.astype(c0.dtype), (0,) * c0.ndim)
+                return jax.tree_util.tree_unflatten(treedef, leaves), s
             final, ss = jax.lax.scan(body, x0, None, length=k)
+            f0 = jax.tree_util.tree_leaves(final)[0]
             return jnp.float32(ss[-1]) + jnp.float32(
-                final.astype(jnp.float32).ravel()[0])
+                f0.astype(jnp.float32).ravel()[0])
 
         f = jax.jit(run)
         _ = float(f(x0))
@@ -120,7 +125,9 @@ def main():
 
     pool = jax.jit(lambda t: phase_max(t))
     pool_plain = jax.jit(q._maxpool2_int8)
-    cat = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=-1))
+    # shipped decoder is concat-free: blocks consume (skip, up) PAIRS and
+    # _qconv splits along input channels (models/quantized.py _qconv)
+    cat = lambda a, b: (a, b)  # noqa: E731
 
     total_conv = [0.0]
 
